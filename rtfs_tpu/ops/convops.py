@@ -1,0 +1,215 @@
+"""Functional convolution / resize primitives with torch-parity semantics.
+
+Everything here is channels-LAST (NWC / NHWC): the TPU-fast layout. The
+reference (PyTorch) is channels-first; the semantics matched here are:
+
+- torch ``Conv1d/2d`` with ``padding="same"`` (asymmetric for even kernels:
+  left = total//2, right = total - left, total = dilation*(k-1)), integer
+  padding, ``groups`` (incl. depthwise), ``dilation``.
+  Reference: ``src/models/layers/conv_layers.py:100-115``.
+- torch ``ConvTranspose1d/2d`` with ``padding`` / ``output_padding``.
+  Reference: ``src/models/TDAVNet/decoder.py:44-57``, ``rnn_layers.py:129``.
+- torch ``F.interpolate(mode="nearest")`` index convention
+  (src = floor(dst * in/out)). Reference: fusion/interp call sites in
+  ``src/models/layers/fusion.py`` and ``separators/frcnn.py``.
+- torch ``F.adaptive_avg_pool1d/2d`` bucket boundaries
+  (start = floor(o*in/out), end = ceil((o+1)*in/out)), implemented as a
+  compile-time pooling matrix applied on the MXU.
+  Reference: ``src/models/separators/tdanet.py:32,116``.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _same_pads(kernel: Sequence[int], dilation: Sequence[int]):
+    """torch padding='same' pad pairs (low, high) per spatial dim."""
+    pads = []
+    for k, d in zip(kernel, dilation):
+        total = d * (k - 1)
+        lo = total // 2
+        pads.append((lo, total - lo))
+    return pads
+
+
+def conv(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    stride: Sequence[int] | int = 1,
+    padding: str | int | Sequence[int] = "same",
+    dilation: Sequence[int] | int = 1,
+    groups: int = 1,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """Grouped N-D convolution, channels-last.
+
+    Args:
+      x: (B, *spatial, Cin).
+      w: (*kernel_spatial, Cin // groups, Cout)  (HWIO).
+      padding: "same" (torch asymmetric convention), an int (symmetric,
+        torch integer-padding convention), or explicit (lo, hi) pairs.
+    """
+    nd = x.ndim - 2
+    if isinstance(stride, int):
+        stride = (stride,) * nd
+    if isinstance(dilation, int):
+        dilation = (dilation,) * nd
+    kernel = w.shape[:nd]
+    if padding == "same":
+        pads = _same_pads(kernel, dilation)
+    elif isinstance(padding, int):
+        pads = [(padding, padding)] * nd
+    else:
+        pads = [(p, p) if isinstance(p, int) else tuple(p) for p in padding]
+
+    spatial = "".join("DHW"[3 - nd + i] for i in range(nd))
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape, w.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
+    )
+    out = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=tuple(stride),
+        padding=pads,
+        rhs_dilation=tuple(dilation),
+        dimension_numbers=dn,
+        feature_group_count=groups,
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def conv_transpose(
+    x: jax.Array,
+    w: jax.Array,
+    *,
+    stride: Sequence[int] | int = 1,
+    padding: Sequence[int] | int = 0,
+    output_padding: Sequence[int] | int = 0,
+    dilation: Sequence[int] | int = 1,
+    bias: jax.Array | None = None,
+) -> jax.Array:
+    """torch ConvTranspose-parity transposed convolution, channels-last.
+
+    Implemented as an input-dilated regular convolution with the spatially
+    flipped kernel — the exact adjoint of torch's convolution, so outputs
+    match torch bit-for-bit up to float accumulation order.
+
+    Args:
+      x: (B, *spatial, Cin).
+      w: (*kernel_spatial, Cout, Cin) — note IO order mirrors torch's
+        ConvTranspose weight (Cin, Cout, *k) transposed to spatial-first.
+      padding/output_padding: torch ints (out = (in-1)*s - 2p + d(k-1) + op + 1).
+    """
+    nd = x.ndim - 2
+    if isinstance(stride, int):
+        stride = (stride,) * nd
+    if isinstance(padding, int):
+        padding = (padding,) * nd
+    if isinstance(output_padding, int):
+        output_padding = (output_padding,) * nd
+    if isinstance(dilation, int):
+        dilation = (dilation,) * nd
+    kernel = w.shape[:nd]
+
+    # Flip spatial dims; kernel layout becomes HWIO with I=Cin (x's channels).
+    w_flipped = jnp.flip(w, axis=tuple(range(nd)))
+    w_flipped = jnp.swapaxes(w_flipped, -1, -2)  # (*k, Cin, Cout)
+
+    pads = [
+        (d * (k - 1) - p, d * (k - 1) - p + op)
+        for k, p, op, d in zip(kernel, padding, output_padding, dilation)
+    ]
+    spatial = "".join("DHW"[3 - nd + i] for i in range(nd))
+    dn = jax.lax.conv_dimension_numbers(
+        x.shape,
+        w_flipped.shape,
+        (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"),
+    )
+    out = jax.lax.conv_general_dilated(
+        x,
+        w_flipped,
+        window_strides=(1,) * nd,
+        padding=pads,
+        lhs_dilation=tuple(stride),
+        rhs_dilation=tuple(dilation),
+        dimension_numbers=dn,
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+def interp_nearest(x: jax.Array, size: Sequence[int]) -> jax.Array:
+    """torch F.interpolate(mode="nearest") over the spatial dims.
+
+    x: (B, *spatial, C); size: target spatial sizes (static).
+    """
+    nd = x.ndim - 2
+    assert len(size) == nd
+    for axis in range(nd):
+        in_sz = x.shape[1 + axis]
+        out_sz = int(size[axis])
+        if in_sz == out_sz:
+            continue
+        idx = np.floor(np.arange(out_sz) * (in_sz / out_sz)).astype(np.int64)
+        idx = np.minimum(idx, in_sz - 1)
+        x = jnp.take(x, jnp.asarray(idx), axis=1 + axis)
+    return x
+
+
+def _adaptive_pool_matrix(in_sz: int, out_sz: int) -> np.ndarray:
+    """(out, in) averaging matrix with torch adaptive_avg_pool boundaries."""
+    m = np.zeros((out_sz, in_sz), dtype=np.float32)
+    for o in range(out_sz):
+        start = (o * in_sz) // out_sz
+        end = -((-(o + 1) * in_sz) // out_sz)  # ceil((o+1)*in/out)
+        m[o, start:end] = 1.0 / (end - start)
+    return m
+
+
+def adaptive_avg_pool(x: jax.Array, size: Sequence[int]) -> jax.Array:
+    """torch F.adaptive_avg_pool parity over spatial dims, channels-last.
+
+    Static output sizes make the pooling a compile-time matrix product —
+    this rides the MXU instead of torch's gather/segment kernels.
+    """
+    nd = x.ndim - 2
+    assert len(size) == nd
+    for axis in range(nd):
+        in_sz = x.shape[1 + axis]
+        out_sz = int(size[axis])
+        if in_sz == out_sz:
+            continue
+        m = jnp.asarray(_adaptive_pool_matrix(in_sz, out_sz), x.dtype)
+        x = jnp.moveaxis(
+            jnp.tensordot(m, x, axes=[[1], [1 + axis]]), 0, 1 + axis
+        )
+    return x
+
+
+def unfold_1d(x: jax.Array, kernel: int, stride: int = 1) -> jax.Array:
+    """torch nn.Unfold((k,1)) over the time axis, channels-last.
+
+    x: (B, T, C) -> (B, T', k*C) where T' = (T - kernel)//stride + 1 and the
+    feature axis is ordered [c0 k0, c0 k1, ...]? No: torch Unfold on
+    (B, C, T, 1) yields channel-major ordering (C blocks of k). We keep
+    (k, C) -> flattened [k major? ...] — see note below.
+
+    torch's Unfold flattens as C*k with channel-major order: output channel
+    index = c * k + j (c = channel, j = kernel tap). We produce exactly that
+    ordering so downstream weights are interchangeable: result[..., c*k + j]
+    = x[..., t*stride + j, c].
+    """
+    t = x.shape[-2]
+    n = (t - kernel) // stride + 1
+    taps = [x[..., j : j + n * stride : stride, :] for j in range(kernel)]
+    stacked = jnp.stack(taps, axis=-1)  # (B, T', C, k)
+    return stacked.reshape(*stacked.shape[:-2], -1)  # (B, T', C*k)
