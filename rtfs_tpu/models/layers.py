@@ -1,0 +1,502 @@
+"""Core layer zoo: norms, activations, conv blocks (channels-last, TPU-first).
+
+This is the TPU-native counterpart of the reference's
+``src/models/layers/{conv_layers,normalizations,activations}.py``. The layers
+are flax.linen modules operating on channels-LAST tensors:
+
+- 1D feature maps: ``(B, T, C)``  (reference: ``(B, C, T)``)
+- 2D time-frequency maps: ``(B, T, F, C)``  (reference: ``(B, C, T, F)``)
+
+Semantics matched against the reference (verified by golden tests vs torch):
+
+- ``ConvNormAct`` (= reference ``conv_layers.py:65-139``): optional
+  pre-norm/pre-act, conv with torch ``padding="same"`` for stride 1 /
+  symmetric ``dilation*(k-1)//2`` for stride > 1, optional post norm + act,
+  ``kernel_size <= 0`` ⇒ identity passthrough with ``out_chan := in_chan``.
+- ``ConvActNorm`` (= ``conv_layers.py:142-215``): conv → act → norm, and
+  stride > 1 ⇒ padding 0.
+- ``gLN`` = GroupNorm(1 group) (= ``normalizations.py:8-17``), eps 1e-5.
+- ``LayerNormalization4D`` (= ``normalizations.py:20-37``): stats over
+  (C, F) when n_freqs > 1, over C alone when n_freqs == 1, eps 1e-5,
+  biased variance.
+- ``PReLU``: torch default — a single shared scalar initialised to 0.25.
+- ``DropPath``: timm stochastic depth, train-only, per-sample.
+
+Parameter initialisation mirrors torch defaults (kaiming-uniform a=sqrt(5)
+for conv kernels, fan-in uniform for biases) so training dynamics match; the
+``xavier_init`` flag switches to xavier-uniform exactly where the reference
+does.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Callable, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..ops import convops
+
+
+# --------------------------------------------------------------------------
+# Initialisers (torch parity)
+# --------------------------------------------------------------------------
+
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """torch Conv default: kaiming_uniform(a=sqrt(5)) on OIHW weight.
+
+    Our kernel layout is (*spatial, Cin//groups, Cout); torch fan_in =
+    Cin//groups * prod(spatial) = prod(shape[:-1]).
+    """
+    fan_in = int(np.prod(shape[:-1]))
+    gain = math.sqrt(2.0 / (1 + 5.0))  # leaky_relu gain with a=sqrt(5)
+    bound = gain * math.sqrt(3.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def xavier_uniform_conv_init(key, shape, dtype=jnp.float32):
+    """xavier_uniform over torch's (Cout, Cin/g, *k) fan convention."""
+    receptive = int(np.prod(shape[:-2]))
+    fan_in = shape[-2] * receptive
+    fan_out = shape[-1] * receptive
+    bound = math.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_conv_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+# --------------------------------------------------------------------------
+# Normalisations
+# --------------------------------------------------------------------------
+
+
+class GlobalLayerNorm(nn.Module):
+    """gLN: GroupNorm with one group — stats over every non-batch axis.
+
+    Reference ``normalizations.py:8-17`` (``nn.GroupNorm(1, C, eps=1e-5)``).
+    Channels-last: affine parameters are per-channel on the last axis.
+    """
+
+    features: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        axes = tuple(range(1, x.ndim))
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
+        gamma = self.param("scale", nn.initializers.ones, (self.features,))
+        beta = self.param("bias", nn.initializers.zeros, (self.features,))
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * gamma + beta
+
+
+class LayerNormalization4D(nn.Module):
+    """Per-(C,F) affine LayerNorm over a TF map (B, T, F, C).
+
+    Reference ``normalizations.py:20-37``: params shaped (1, C, 1, F) in
+    NCTF; stats over (C, F) if F > 1 else over C alone; biased variance,
+    eps 1e-5.
+    """
+
+    features: int
+    n_freqs: int = 1
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        # x: (B, T, F, C); n_freqs == 1 means per-(B,T,F) channel stats.
+        if self.n_freqs > 1:
+            axes = (-2, -1)
+            pshape = (1, 1, self.n_freqs, self.features)
+        else:
+            axes = (-1,)
+            pshape = (1, 1, 1, self.features) if x.ndim == 4 else (1, 1, self.features)
+        mean = jnp.mean(x, axis=axes, keepdims=True)
+        var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
+        gamma = self.param("scale", nn.initializers.ones, pshape)
+        beta = self.param("bias", nn.initializers.zeros, pshape)
+        return (x - mean) * jax.lax.rsqrt(var + self.eps) * gamma + beta
+
+
+class BatchNorm(nn.Module):
+    """torch BatchNorm1d/2d parity: momentum 0.1 (flax decay 0.9), eps 1e-5.
+
+    Cross-replica statistics: pass ``axis_name="data"`` so batch stats are
+    the mesh-wide mean — the TPU equivalent of the reference's
+    ``sync_batchnorm=True`` (``train.py:145``).
+    """
+
+    features: int
+    axis_name: Optional[str] = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            axis_name=self.axis_name if train else None,
+        )(x)
+
+
+class TorchLayerNorm(nn.Module):
+    """nn.LayerNorm over the trailing channel axis (eps 1e-5)."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=1e-5)(x)
+
+
+# --------------------------------------------------------------------------
+# Activations
+# --------------------------------------------------------------------------
+
+
+class PReLU(nn.Module):
+    """torch nn.PReLU(): single shared scalar slope, init 0.25."""
+
+    init: float = 0.25
+
+    @nn.compact
+    def __call__(self, x):
+        a = self.param(
+            "alpha", lambda k, s: jnp.full(s, self.init, jnp.float32), (1,)
+        )
+        return jnp.where(x >= 0, x, a * x)
+
+
+_ACTIVATIONS: dict[str, Callable[[], Any]] = {
+    "ReLU": lambda: jax.nn.relu,
+    "PReLU": PReLU,
+    "Tanh": lambda: jnp.tanh,
+    "Sigmoid": lambda: jax.nn.sigmoid,
+    "GELU": lambda: jax.nn.gelu,
+    "SiLU": lambda: jax.nn.silu,
+    "Softmax": lambda: (lambda x: jax.nn.softmax(x, axis=-1)),
+}
+
+
+def make_act(act_type: Optional[str]):
+    """Activation registry (reference ``activations.py:4-18``).
+
+    Returns a module or plain callable; ``None`` ⇒ identity.
+    """
+    if act_type is None or act_type == "":
+        return lambda x: x
+    if act_type not in _ACTIVATIONS:
+        raise ValueError(f"Unknown activation: {act_type}")
+    return _ACTIVATIONS[act_type]()
+
+
+def make_norm(
+    norm_type: Optional[str],
+    features: int,
+    n_freqs: int = -1,
+    axis_name: Optional[str] = None,
+):
+    """Norm registry (reference ``normalizations.py:44-58``).
+
+    Maps the reference's config strings (incl. raw torch.nn names like
+    ``BatchNorm1d``) onto TPU-native channels-last modules. ``None`` ⇒ None
+    (caller skips).
+    """
+    if norm_type is None or norm_type == "":
+        return None
+    if norm_type == "gLN":
+        return GlobalLayerNorm(features)
+    if norm_type in ("LayerNormalization4D", "LN4d"):
+        return LayerNormalization4D(features, n_freqs=max(n_freqs, 1))
+    if norm_type in ("BatchNorm1d", "BatchNorm2d", "BatchNorm3d"):
+        return BatchNorm(features, axis_name=axis_name)
+    if norm_type == "LayerNorm":
+        return TorchLayerNorm(features)
+    raise ValueError(f"Unknown normalization: {norm_type}")
+
+
+def _apply_norm(norm, x, train: bool):
+    if norm is None:
+        return x
+    if isinstance(norm, BatchNorm):
+        return norm(x, train=train)
+    return norm(x)
+
+
+def _apply_act(act, x):
+    return act(x) if act is not None else x
+
+
+# --------------------------------------------------------------------------
+# DropPath (stochastic depth)
+# --------------------------------------------------------------------------
+
+
+class DropPath(nn.Module):
+    """timm DropPath: drop the residual branch per-sample during training."""
+
+    rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.rate == 0.0 or not train:
+            return x
+        keep = 1.0 - self.rate
+        rng = self.make_rng("dropout")
+        shape = (x.shape[0],) + (1,) * (x.ndim - 1)
+        mask = jax.random.bernoulli(rng, keep, shape)
+        return x * mask / keep
+
+
+# --------------------------------------------------------------------------
+# Conv blocks
+# --------------------------------------------------------------------------
+
+
+class Conv(nn.Module):
+    """Bare grouped conv, channels-last, torch-parity padding and init.
+
+    padding: "same" (torch asymmetric), int, or explicit pairs; stride>1
+    callers pass ints per the reference's conventions.
+    """
+
+    in_chan: int
+    out_chan: int
+    kernel_size: int | Sequence[int]
+    stride: int = 1
+    groups: int = 1
+    dilation: int = 1
+    padding: Any = "same"
+    use_bias: bool = True
+    xavier_init: bool = False
+    nd: int = 1  # 1 => (B,T,C); 2 => (B,T,F,C)
+
+    @nn.compact
+    def __call__(self, x):
+        ks = self.kernel_size
+        kernel = tuple(ks) if hasattr(ks, "__len__") else (ks,) * self.nd
+        kshape = (*kernel, self.in_chan // self.groups, self.out_chan)
+        kinit = xavier_uniform_conv_init if self.xavier_init else torch_conv_kernel_init
+        w = self.param("kernel", kinit, kshape)
+        b = None
+        if self.use_bias:
+            fan_in = int(np.prod(kshape[:-1]))
+            b = self.param("bias", torch_conv_bias_init(fan_in), (self.out_chan,))
+        return convops.conv(
+            x,
+            w,
+            stride=self.stride,
+            padding=self.padding,
+            dilation=self.dilation,
+            groups=self.groups,
+            bias=b,
+        )
+
+
+class ConvTranspose(nn.Module):
+    """torch ConvTranspose1d/2d parity, channels-last."""
+
+    in_chan: int
+    out_chan: int
+    kernel_size: int | Sequence[int]
+    stride: int = 1
+    padding: int = 0
+    output_padding: int = 0
+    groups: int = 1
+    use_bias: bool = True
+    xavier_init: bool = False
+    nd: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        if self.groups != 1:
+            raise NotImplementedError("grouped transposed conv unused by configs")
+        ks = self.kernel_size
+        kernel = tuple(ks) if hasattr(ks, "__len__") else (ks,) * self.nd
+        # Stored as (*spatial, Cout, Cin) — see convops.conv_transpose.
+        kshape = (*kernel, self.out_chan, self.in_chan)
+
+        def kinit(key, shape, dtype=jnp.float32):
+            # torch ConvTranspose default init: kaiming-uniform with
+            # fan_in = Cout/groups * prod(k) computed on (Cin, Cout, *k)...
+            # torch uses weight shape (Cin, Cout//g, *k) and fan_in =
+            # Cout//g * prod(k)? torch _calculate_fan_in treats dim1 as
+            # in: fan_in = shape[1] * receptive = (Cout//g) * prod(k).
+            receptive = int(np.prod(shape[:-2]))
+            fan_in = shape[-2] * receptive  # Cout * receptive
+            if self.xavier_init:
+                fan_out = shape[-1] * receptive
+                bound = math.sqrt(6.0 / (fan_in + fan_out))
+            else:
+                gain = math.sqrt(2.0 / 6.0)
+                bound = gain * math.sqrt(3.0 / fan_in)
+            return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+        w = self.param("kernel", kinit, kshape)
+        b = None
+        if self.use_bias:
+            receptive = int(np.prod(kernel))
+            b = self.param(
+                "bias",
+                torch_conv_bias_init(self.out_chan * receptive),
+                (self.out_chan,),
+            )
+        return convops.conv_transpose(
+            x,
+            w,
+            stride=self.stride,
+            padding=self.padding,
+            output_padding=self.output_padding,
+            bias=b,
+        )
+
+
+class ConvNormAct(nn.Module):
+    """pre_norm → pre_act → conv → norm → act (reference conv_layers.py:65).
+
+    ``kernel_size <= 0`` ⇒ conv is identity and ``out_chan := in_chan``
+    (the reference's Identity-passthrough trick used for e.g. the video
+    bottleneck, ``config/lrs2_RTFSNet_4_layer.yaml:12-13``).
+    """
+
+    in_chan: int
+    out_chan: int
+    kernel_size: int
+    stride: int = 1
+    groups: int = 1
+    dilation: int = 1
+    padding: Any = None
+    pre_norm_type: Optional[str] = None
+    pre_act_type: Optional[str] = None
+    norm_type: Optional[str] = None
+    act_type: Optional[str] = None
+    xavier_init: bool = False
+    use_bias: bool = True
+    is2d: bool = False
+    bn_axis_name: Optional[str] = None
+
+    @property
+    def real_out_chan(self) -> int:
+        return self.out_chan if self.kernel_size > 0 else self.in_chan
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        out_chan = self.real_out_chan
+        padding = self.padding
+        if padding is None:
+            padding = (
+                self.dilation * (self.kernel_size - 1) // 2
+                if self.stride > 1
+                else "same"
+            )
+        x = _apply_norm(
+            make_norm(self.pre_norm_type, self.in_chan, axis_name=self.bn_axis_name),
+            x,
+            train,
+        )
+        x = _apply_act(make_act(self.pre_act_type), x)
+        if self.kernel_size > 0:
+            x = Conv(
+                self.in_chan,
+                out_chan,
+                self.kernel_size,
+                stride=self.stride,
+                groups=self.groups,
+                dilation=self.dilation,
+                padding=padding,
+                use_bias=self.use_bias,
+                xavier_init=self.xavier_init,
+                nd=2 if self.is2d else 1,
+            )(x)
+        x = _apply_norm(
+            make_norm(self.norm_type, out_chan, axis_name=self.bn_axis_name),
+            x,
+            train,
+        )
+        x = _apply_act(make_act(self.act_type), x)
+        return x
+
+
+class ConvActNorm(nn.Module):
+    """conv → act → norm (reference conv_layers.py:142-215).
+
+    stride > 1 ⇒ padding 0 (NOT symmetric) per the reference; supports
+    LayerNormalization4D via ``n_freqs``.
+    """
+
+    in_chan: int
+    out_chan: int
+    kernel_size: int
+    stride: int = 1
+    groups: int = 1
+    dilation: int = 1
+    norm_type: Optional[str] = None
+    act_type: Optional[str] = None
+    n_freqs: int = -1
+    xavier_init: bool = False
+    use_bias: bool = True
+    is2d: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.kernel_size > 0:
+            padding = 0 if self.stride > 1 else "same"
+            x = Conv(
+                self.in_chan,
+                self.out_chan,
+                self.kernel_size,
+                stride=self.stride,
+                groups=self.groups,
+                dilation=self.dilation,
+                padding=padding,
+                use_bias=self.use_bias,
+                xavier_init=self.xavier_init,
+                nd=2 if self.is2d else 1,
+            )(x)
+        x = _apply_act(make_act(self.act_type), x)
+        x = _apply_norm(
+            make_norm(self.norm_type, self.out_chan, n_freqs=self.n_freqs), x, train
+        )
+        return x
+
+
+class FeedForwardNetwork(nn.Module):
+    """Conv FFN: 1×1 → DW k → 1×1 with DropPath (conv_layers.py:218-259)."""
+
+    in_chan: int
+    hid_chan: int
+    kernel_size: int = 5
+    norm_type: str = "gLN"
+    act_type: str = "ReLU"
+    dropout: float = 0.0
+    is2d: bool = False
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        res = x
+        x = ConvNormAct(
+            self.in_chan, self.hid_chan, 1, norm_type=self.norm_type,
+            use_bias=False, is2d=self.is2d,
+        )(x, train)
+        x = ConvNormAct(
+            self.hid_chan, self.hid_chan, self.kernel_size,
+            groups=self.hid_chan, act_type=self.act_type, is2d=self.is2d,
+        )(x, train)
+        drop = DropPath(self.dropout)
+        x = drop(x, train)
+        x = ConvNormAct(
+            self.hid_chan, self.in_chan, 1, norm_type=self.norm_type,
+            use_bias=False, is2d=self.is2d,
+        )(x, train)
+        return DropPath(self.dropout)(x, train) + res

@@ -1,0 +1,174 @@
+"""SRU (Simple Recurrent Unit) — the RTFS-Net workhorse, TPU-native.
+
+The reference uses the third-party CUDA ``sru`` package (v2.6 semantics;
+reference ``src/models/layers/rnn_layers.py:6,99-105``, dep pinned at
+``setup/requirements.yaml:33``). Per layer and direction, with
+``U = x @ W`` split into k chunks (k = 4 when input dim != output dim,
+else 3; output dim = hidden * num_directions):
+
+    f_t = sigmoid(U1_t + v_f * c_{t-1} + b_f)
+    c_t = f_t * c_{t-1} + (1 - f_t) * U0_t
+    r_t = sigmoid(U2_t + v_r * c_{t-1} + b_r)
+    h_t = r_t * c_t + (1 - r_t) * x_hw_t          # highway
+
+where ``x_hw = x`` when k == 3 (input dim == output dim) or ``U3`` when
+k == 4, ``v_f, v_r`` are per-unit recurrence vectors ("weight_c"), and the
+reset/highway bias is initialised to ``highway_bias``. c_0 = 0.
+
+TPU-first structure: the input projection ``x @ W`` is one large batched
+matmul (MXU — this is where ~all the FLOPs are: for the RTFS config the
+first layer is a 2048-wide projection), and the recurrence is a cheap
+elementwise scan. The gates read c_{t-1}, so the recurrence is inherently
+sequential (NOT a linear associative scan); it runs as ``jax.lax.scan``
+with both directions fused into one scan body so forward and backward
+timesteps execute in the same iteration.
+
+A fused Pallas kernel for the recurrence (keeping U tiles VMEM-resident
+across timesteps) lives in ``rtfs_tpu.ops.sru_pallas`` and is used
+automatically on TPU for the steady-state sizes; this module is the
+reference implementation and the CPU/backward-compatible path.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def _layer_scan(u: jax.Array, v: jax.Array, b: jax.Array, x_hw: jax.Array):
+    """One direction's recurrence.
+
+    Args:
+      u: (B, L, 3, H) gate pre-activations [x_tilde, f, r].
+      v: (2, H) recurrence vectors [v_f, v_r].
+      b: (2, H) biases [b_f, b_r].
+      x_hw: (B, L, H) highway input.
+
+    Returns:
+      h: (B, L, H)
+    """
+    v_f, v_r = v[0], v[1]
+    b_f, b_r = b[0], b[1]
+
+    def step(c, inputs):
+        u_t, xhw_t = inputs  # (B, 3, H), (B, H)
+        f = jax.nn.sigmoid(u_t[:, 1] + v_f * c + b_f)
+        r = jax.nn.sigmoid(u_t[:, 2] + v_r * c + b_r)
+        c_new = f * c + (1.0 - f) * u_t[:, 0]
+        h = r * c_new + (1.0 - r) * xhw_t
+        return c_new, h
+
+    c0 = jnp.zeros((u.shape[0], u.shape[-1]), u.dtype)
+    # scan over time: move L to the leading axis.
+    u_t = jnp.moveaxis(u, 1, 0)
+    x_t = jnp.moveaxis(x_hw, 1, 0)
+    _, h = jax.lax.scan(step, c0, (u_t, x_t))
+    return jnp.moveaxis(h, 0, 1)
+
+
+def sru_layer(
+    x: jax.Array,
+    weight: jax.Array,
+    weight_c: jax.Array,
+    bias: jax.Array,
+    hidden: int,
+    bidirectional: bool,
+) -> jax.Array:
+    """Single SRU layer, both directions.
+
+    Args:
+      x: (B, L, D_in).
+      weight: (D_in, dirs * k * H).
+      weight_c: (dirs, 2, H).
+      bias: (dirs, 2, H).
+
+    Returns:
+      (B, L, dirs * H)
+    """
+    dirs = 2 if bidirectional else 1
+    d_in = x.shape[-1]
+    d_out = dirs * hidden
+    k = 4 if d_in != d_out else 3
+
+    u = jnp.einsum(
+        "bld,dk->blk", x, weight, preferred_element_type=jnp.float32
+    )
+    u = u.reshape(*x.shape[:2], dirs, k, hidden)
+
+    outs = []
+    for d in range(dirs):
+        u_d = u[:, :, d]
+        x_hw = (
+            u_d[:, :, 3]
+            if k == 4
+            else x[..., d * hidden : (d + 1) * hidden]
+        )
+        u_gates = u_d[:, :, :3]
+        if d == 1:
+            u_gates = jnp.flip(u_gates, axis=1)
+            x_hw = jnp.flip(x_hw, axis=1)
+        h = _layer_scan(u_gates, weight_c[d], bias[d], x_hw)
+        if d == 1:
+            h = jnp.flip(h, axis=1)
+        outs.append(h)
+    return jnp.concatenate(outs, axis=-1) if dirs > 1 else outs[0]
+
+
+class SRU(nn.Module):
+    """Multi-layer (bi)directional SRU, batch-major (B, L, D).
+
+    Matches the ``sru`` package's SRU(input_size, hidden_size, num_layers,
+    bidirectional) as instantiated by the reference DualPathRNN
+    (``rnn_layers.py:99-105``): no layer dropout (default 0), no layer
+    norm, highway_bias applied to the reset-gate bias.
+    """
+
+    input_size: int
+    hidden_size: int
+    num_layers: int = 1
+    bidirectional: bool = False
+    highway_bias: float = -1.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        dirs = 2 if self.bidirectional else 1
+        d_out = dirs * self.hidden_size
+        h = x
+        for layer in range(self.num_layers):
+            d_in = self.input_size if layer == 0 else d_out
+            k = 4 if d_in != d_out else 3
+
+            def w_init(key, shape, dtype=jnp.float32):
+                bound = math.sqrt(3.0 / shape[0])
+                return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+            weight = self.param(
+                f"weight_{layer}", w_init, (d_in, dirs * k * self.hidden_size)
+            )
+            weight_c = self.param(
+                f"weight_c_{layer}",
+                lambda key, shape, dtype=jnp.float32: jax.random.uniform(
+                    key, shape, dtype, -math.sqrt(3.0 / self.hidden_size),
+                    math.sqrt(3.0 / self.hidden_size),
+                ),
+                (dirs, 2, self.hidden_size),
+            )
+
+            hb = self.highway_bias
+
+            def b_init(key, shape, dtype=jnp.float32):
+                b = jnp.zeros(shape, dtype)
+                return b.at[:, 1].set(hb)  # reset/highway-gate bias
+
+            bias = self.param(
+                f"bias_{layer}", b_init, (dirs, 2, self.hidden_size)
+            )
+            h = sru_layer(
+                h, weight, weight_c, bias, self.hidden_size, self.bidirectional
+            )
+        return h
