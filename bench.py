@@ -1,0 +1,92 @@
+"""Benchmark: RTFS-Net-4 inference throughput on one TPU chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Metric: audio-seconds separated per wall-clock second per chip, on the
+flagship RTFS-Net-4 / LRS2 config (2 s @ 16 kHz utterances, 50 video-frame
+embeddings), steady state, best over a small batch-size sweep.
+
+Baseline: the reference reports 57.8 ms inference for one 2 s utterance
+(RTFS-Net-4, README main table / BASELINE.md) = 34.6 audio-seconds/s.
+``vs_baseline`` = ours / 34.6 (higher is better).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_AUDIO_SEC_PER_S = 2.0 / 0.0578  # reference: 57.8 ms per 2 s utterance
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from __graft_entry__ import _host_init_params
+    from rtfs_tpu.config import build_avnet, load_config
+
+    model = build_avnet(load_config("lrs2_RTFSNet_4_layer"))
+    wav1 = jnp.zeros((1, 32000), jnp.float32)
+    emb1 = jnp.zeros((1, 50, 512), jnp.float32)
+    variables = _host_init_params(model, wav1, emb1)
+    variables = jax.device_put(variables)
+
+    # Timing methodology: N forwards chained inside ONE on-device fori_loop
+    # (step i's input is perturbed by step i-1's output), ending in a host
+    # fetch of the final scalar. A single dispatch + data-dependent chain is
+    # immune to dispatch pipelining, caching, or async-transfer artifacts —
+    # the only sound way to time through a tunneled backend.
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="n_iter")
+    def fwd_loop(v, w, m, n_iter):
+        def body(_, carry):
+            out = model.apply(v, w + 1e-12 * carry, m)
+            return jnp.sum(out)
+
+        return jax.lax.fori_loop(0, n_iter, body, jnp.zeros((), jnp.float32))
+
+    rng = np.random.default_rng(0)
+    best = 0.0
+    best_bs = 0
+    for bs in (8, 16, 32):
+        wav = jnp.asarray(rng.standard_normal((bs, 32000)).astype(np.float32))
+        emb = jnp.asarray(
+            rng.standard_normal((bs, 50, 512)).astype(np.float32)
+        )
+        n_iter = 20
+        float(fwd_loop(variables, wav, emb, 1))  # compile 1-iter variant
+        t1 = time.perf_counter()
+        float(fwd_loop(variables, wav, emb, 1))
+        overhead = time.perf_counter() - t1  # dispatch+fetch cost
+        float(fwd_loop(variables, wav, emb, n_iter))  # compile N-iter
+        t0 = time.perf_counter()
+        float(fwd_loop(variables, wav, emb, n_iter))
+        total = time.perf_counter() - t0
+        dt = max(total - overhead, 1e-9) / (n_iter - 1)
+        audio_sec_per_s = bs * 2.0 / dt
+        print(
+            f"# bs={bs}: {dt*1e3:.2f} ms/step, {audio_sec_per_s:.0f} audio-s/s",
+            file=sys.stderr,
+        )
+        if audio_sec_per_s > best:
+            best, best_bs = audio_sec_per_s, bs
+
+    print(
+        json.dumps(
+            {
+                "metric": f"rtfsnet4_inference_throughput_bs{best_bs}",
+                "value": round(best, 1),
+                "unit": "audio-sec/s/chip",
+                "vs_baseline": round(best / BASELINE_AUDIO_SEC_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+"""Device-mesh parallelism: mesh construction and sharding rules."""
+
+from .mesh import make_mesh, shard_batch, replicate  # noqa: F401

@@ -1,0 +1,193 @@
+"""AVSystem: the training system (counterpart of the reference Lightning System).
+
+Reference ``src/system/core.py:50-232``: wraps audio+video models, runs the
+frozen-video forward, computes PIT losses (neg-SNR train / neg-SI-SDR val),
+clips gradients, steps the optimizer, and aggregates metrics across ranks.
+
+TPU-native shape: ONE jitted ``train_step`` compiled over a
+``jax.sharding.Mesh`` — the batch is sharded over the ``data`` axis, params
+replicated; XLA inserts the gradient psum. Cross-replica BatchNorm falls out
+for free: batch-stat means are global means because the batch axis is a
+sharded global axis inside jit (the reference needed
+``sync_batchnorm=True``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from flax.core import FrozenDict
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..losses import pairwise_neg_sisdr, pairwise_neg_snr, pit_loss
+from .optim import make_optimizer
+
+
+class TrainState(struct.PyTreeNode):
+    """All mutable training state as one pytree (orbax-checkpointable)."""
+
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    video_variables: Any  # frozen video backbone params+stats
+
+
+class AVSystem:
+    """Builds and owns the jitted train/val steps for an AVNet + video model.
+
+    Args:
+      model: the flax AVNet.
+      video_model: frozen lip backbone (or None for audio-only).
+      optimizer: optax transformation (see ``make_optimizer``).
+      mesh: device mesh; if None, runs single-device un-sharded.
+    """
+
+    def __init__(
+        self,
+        model,
+        video_model=None,
+        optimizer=None,
+        mesh: Optional[Mesh] = None,
+        train_video_model: bool = False,
+        donate_state: bool = True,
+    ):
+        self.model = model
+        self.video_model = video_model
+        self.optimizer = optimizer or make_optimizer()
+        self.mesh = mesh
+        self.train_video_model = train_video_model
+        self.donate_state = donate_state
+        if train_video_model:
+            raise NotImplementedError(
+                "joint video training lands with the AE pretrain flow"
+            )
+        self._train_step = None
+        self._val_step = None
+
+    # -- state ------------------------------------------------------------
+
+    def create_state(self, rng, sample_batch) -> TrainState:
+        """Initialize parameters/optimizer state from a sample batch."""
+        wav = sample_batch["mix"]
+        video_variables = {}
+        if self.video_model is not None:
+            v_rng, rng = jax.random.split(rng)
+            video_variables = self.video_model.init(
+                {"params": v_rng}, sample_batch["mouth"]
+            )
+            mouth_emb = self.video_model.apply(
+                video_variables, sample_batch["mouth"]
+            )
+        else:
+            mouth_emb = None
+        variables = self.model.init({"params": rng}, wav, mouth_emb)
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats", FrozenDict())
+        return TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=self.optimizer.init(params),
+            video_variables=video_variables,
+        )
+
+    # -- forward/loss -----------------------------------------------------
+
+    def _forward_loss(
+        self, params, batch_stats, video_variables, batch, rng, train: bool
+    ):
+        wav, targets = batch["mix"], batch["src"]
+        if targets.ndim == 2:
+            targets = targets[:, None]
+        mouth_emb = None
+        if self.video_model is not None:
+            # Frozen backbone: eval-mode BN, no gradient path (params are
+            # not differentiated; stop_gradient guards mixed setups).
+            mouth_emb = jax.lax.stop_gradient(
+                self.video_model.apply(video_variables, batch["mouth"])
+            )
+        variables = {"params": params, "batch_stats": batch_stats}
+        if train:
+            ests, mutated = self.model.apply(
+                variables, wav, mouth_emb, train=True,
+                rngs={"dropout": rng}, mutable=["batch_stats"],
+            )
+            loss = pit_loss(pairwise_neg_snr, ests, targets)
+            return loss, mutated["batch_stats"]
+        ests = self.model.apply(variables, wav, mouth_emb, train=False)
+        loss = pit_loss(pairwise_neg_sisdr, ests, targets)
+        return loss, batch_stats
+
+    # -- steps ------------------------------------------------------------
+
+    def train_step_fn(self, state: TrainState, batch, rng):
+        def loss_fn(params):
+            loss, new_stats = self._forward_loss(
+                params, state.batch_stats, state.video_variables, batch, rng,
+                train=True,
+            )
+            return loss, new_stats
+
+        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt_state = self.optimizer.update(
+            grads, state.opt_state, state.params
+        )
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, {"train_loss": loss}
+
+    def val_step_fn(self, state: TrainState, batch):
+        loss, _ = self._forward_loss(
+            state.params, state.batch_stats, state.video_variables, batch,
+            jax.random.PRNGKey(0), train=False,
+        )
+        return {"val_loss": loss}
+
+    # -- jitted, sharded entry points ------------------------------------
+
+    def compile(self):
+        """Jit the steps; with a mesh, annotate state-replicated /
+        batch-sharded in/out shardings so XLA compiles the DP collectives."""
+        if self.mesh is not None:
+            rep = NamedSharding(self.mesh, P())
+            shd = NamedSharding(self.mesh, P("data"))
+            self._train_step = jax.jit(
+                self.train_step_fn,
+                in_shardings=(rep, shd, rep),
+                out_shardings=(rep, rep),
+                donate_argnums=(0,) if self.donate_state else (),
+            )
+            self._val_step = jax.jit(
+                self.val_step_fn, in_shardings=(rep, shd), out_shardings=rep
+            )
+        else:
+            self._train_step = jax.jit(
+                self.train_step_fn,
+                donate_argnums=(0,) if self.donate_state else (),
+            )
+            self._val_step = jax.jit(self.val_step_fn)
+        return self
+
+    def train_step(self, state, batch, rng):
+        if self._train_step is None:
+            self.compile()
+        return self._train_step(state, batch, rng)
+
+    def val_step(self, state, batch):
+        if self._val_step is None:
+            self.compile()
+        return self._val_step(state, batch)

@@ -1,0 +1,95 @@
+"""Evaluation entry: ``python test.py --conf-dir <exp>/conf.yaml --test-dir ...``.
+
+Counterpart of the reference ``test.py:24-152``: loads the exported model
+bundle from the experiment dir, runs the test set, tracks per-utterance
+SI-SNR(i)/SDR(i)/PESQ/STOI into ``metrics.csv``, and writes an aggregate
+``results.csv`` (mean/std + complexity numbers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import os
+
+import numpy as np
+
+
+def main(args):
+    import jax
+    import jax.numpy as jnp
+
+    from rtfs_tpu.config import build_avnet, load_config
+    from rtfs_tpu.data import AVSpeechDataset
+    from rtfs_tpu.metrics import ALLMetricsTracker
+    from rtfs_tpu.models.video import make_video_model
+    from rtfs_tpu.train.checkpoints import load_exported
+
+    conf = load_config(args.conf_dir)
+    exp_dir = os.path.dirname(os.path.abspath(args.conf_dir))
+
+    model = build_avnet(conf)
+    video_model = make_video_model(conf["videonet"])
+
+    bundle_path = args.model or os.path.join(exp_dir, "best_model.bin")
+    bundle = load_exported(bundle_path)
+    state = bundle["state"]
+    variables = {
+        "params": state["params"],
+        "batch_stats": state.get("batch_stats", {}),
+    }
+    video_variables = state.get("video_variables", {})
+
+    test_set = AVSpeechDataset(
+        args.test_dir,
+        n_src=conf["audionet"]["n_src"],
+        sample_rate=conf["data"]["sample_rate"],
+        segment=None,  # full utterances (still 2 s-truncated, parity)
+        normalize_audio=conf["data"].get("normalize_audio", False),
+    )
+
+    out_dir = os.path.join(exp_dir, "results")
+    os.makedirs(out_dir, exist_ok=True)
+    tracker = ALLMetricsTracker(
+        os.path.join(out_dir, "metrics.csv"),
+        sample_rate=conf["data"]["sample_rate"],
+    )
+
+    @jax.jit
+    def forward(wav, mouth):
+        emb = video_model.apply(video_variables, mouth)
+        return model.apply(variables, wav, emb)
+
+    n = 0
+    for batch in test_set.batches(args.batch_size, shuffle=False,
+                                  drop_last=False):
+        keys = batch.pop("key")
+        ests = np.asarray(forward(
+            jnp.asarray(batch["mix"]), jnp.asarray(batch["mouth"])
+        ))
+        for b in range(ests.shape[0]):
+            tracker(batch["mix"][b], batch["src"][b], ests[b], keys[b])
+            n += 1
+        if n % 50 == 0:
+            mean = tracker.get_mean()
+            print(f"{n} utts: si-snr_i={mean['si-snr_i']:.2f} "
+                  f"sdr_i={mean['sdr_i']:.2f}")
+
+    tracker.final()
+    mean, std = tracker.get_mean(), tracker.get_std()
+    with open(os.path.join(out_dir, "results.csv"), "w", newline="") as f:
+        w = csv.writer(f)
+        w.writerow(["metric", "mean", "std"])
+        for k in mean:
+            w.writerow([k, mean[k], std[k]])
+    print("final:", {k: round(v, 3) for k, v in mean.items()})
+
+
+if __name__ == "__main__":
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--conf-dir", required=True)
+    parser.add_argument("--test-dir", required=True)
+    parser.add_argument("--model", default=None)
+    parser.add_argument("--batch-size", type=int, default=8)
+    args = parser.parse_args()
+    main(args)

@@ -1,0 +1,182 @@
+"""End-to-end training-step tests on a micro RTFS config (fast CPU compile).
+
+Covers: system build, train/val steps, finite losses, param updates, BN
+stat mutation, and 8-device data-parallel sharding — the same machinery the
+full configs use, at toy sizes.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+MICRO_AUDIONET = {
+    "n_src": 1,
+    "pretrained_vout_chan": 32,
+    "video_bn_params": {"kernel_size": -1},
+    "audio_bn_params": {
+        "pre_norm_type": "gLN", "pre_act_type": "ReLU",
+        "out_chan": 16, "kernel_size": 1, "is2d": True,
+    },
+    "enc_dec_params": {
+        "encoder_type": "STFTEncoder", "decoder_type": "STFTDecoder",
+        "win": 64, "hop_length": 32, "out_chan": 16, "kernel_size": 3,
+        "stride": 1, "bias": False, "act_type": None, "norm_type": None,
+    },
+    "audio_params": {
+        "audio_net": "TDANet", "hid_chan": 8, "kernel_size": 4, "stride": 2,
+        "norm_type": "gLN", "act_type": "PReLU", "upsampling_depth": 2,
+        "repeats": 2, "shared": True, "is2d": True,
+        "layers": {
+            "layer_1": {
+                "layer_type": "DualPathRNN", "hid_chan": 4, "dim": 4,
+                "kernel_size": 4, "stride": 1, "rnn_type": "SRU",
+                "num_layers": 2, "bidirectional": True,
+            },
+            "layer_2": {
+                "layer_type": "MultiHeadSelfAttention2D", "dim": 3,
+                "n_freqs": 16, "n_head": 2, "hid_chan": 2,
+                "act_type": "PReLU", "norm_type": "LayerNormalization4D",
+            },
+        },
+    },
+    "video_params": {
+        "video_net": "TDANet", "hid_chan": 8, "kernel_size": 3, "stride": 2,
+        "norm_type": "BatchNorm1d", "act_type": "PReLU",
+        "upsampling_depth": 2, "repeats": 1, "shared": True, "is2d": False,
+        "layers": {
+            "layer_1": {
+                "layer_type": "GlobalAttention", "kernel_size": 3,
+                "n_head": 2, "dropout": 0.1,
+            }
+        },
+    },
+    "fusion_params": {
+        "fusion_type": "ATTNFusion", "fusion_shared": True,
+        "kernel_size": 4, "is2d": True,
+    },
+    "mask_generation_params": {
+        "mask_generator_type": "MaskGenerator", "mask_act": "ReLU",
+        "RI_split": True, "is2d": True,
+    },
+}
+
+WAV_LEN = 1024  # -> T=33 frames, F=33 bins; pooled F'=16 (n_freqs=16)
+
+
+def _make_model():
+    from rtfs_tpu.models.avnet import AVNet
+
+    a = MICRO_AUDIONET
+    return AVNet(
+        n_src=a["n_src"],
+        enc_dec_params=a["enc_dec_params"],
+        audio_bn_params=a["audio_bn_params"],
+        audio_params=a["audio_params"],
+        mask_generation_params=a["mask_generation_params"],
+        pretrained_vout_chan=a["pretrained_vout_chan"],
+        video_bn_params=a["video_bn_params"],
+        video_params=a["video_params"],
+        fusion_params=a["fusion_params"],
+    )
+
+
+def _batch(b=2):
+    rng = np.random.default_rng(0)
+    src = rng.standard_normal((b, 1, WAV_LEN)).astype(np.float32) * 0.1
+    return {
+        "mix": src[:, 0],
+        "src": src,
+        "mouth": rng.standard_normal((b, 6, 32)).astype(np.float32),
+    }
+
+
+class _MouthEmbed:
+    """Stand-in frozen video backbone: linear proj of flattened mouths."""
+
+    def init(self, rngs, mouth):
+        return {"params": {}}
+
+    def apply(self, variables, mouth):
+        b, t = mouth.shape[0], mouth.shape[1]
+        reps = -(-32 // mouth.shape[-1])
+        return jnp.tile(mouth, (1, 1, reps))[..., :32]
+
+
+def test_train_and_val_step():
+    from rtfs_tpu.train import AVSystem, make_optimizer
+
+    model = _make_model()
+    system = AVSystem(
+        model, video_model=_MouthEmbed(),
+        optimizer=make_optimizer("adamw", lr=1e-3, weight_decay=0.1),
+        donate_state=False,
+    )
+    batch = _batch()
+    state = system.create_state(jax.random.PRNGKey(0), batch)
+
+    state2, metrics = system.train_step(state, batch, jax.random.PRNGKey(1))
+    loss = float(metrics["train_loss"])
+    assert np.isfinite(loss)
+
+    # params must change
+    diff = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), state.params, state2.params
+    )
+    assert max(jax.tree.leaves(diff)) > 0
+
+    # another step: loss stays finite
+    _, m2 = system.train_step(state2, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(m2["train_loss"]))
+
+    val = system.val_step(state2, batch)
+    assert np.isfinite(float(val["val_loss"]))
+
+
+def test_batchnorm_stats_update():
+    from rtfs_tpu.train import AVSystem, make_optimizer
+
+    model = _make_model()
+    system = AVSystem(model, video_model=_MouthEmbed(),
+                      optimizer=make_optimizer("adam", lr=1e-3),
+                      donate_state=False)
+    batch = _batch()
+    state = system.create_state(jax.random.PRNGKey(0), batch)
+    state2, _ = system.train_step(state, batch, jax.random.PRNGKey(1))
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()),
+        state.batch_stats, state2.batch_stats,
+    )
+    assert max(jax.tree.leaves(diffs)) > 0, "BN running stats did not update"
+
+
+def test_data_parallel_sharded_step():
+    from rtfs_tpu.parallel import make_mesh, replicate, shard_batch
+    from rtfs_tpu.train import AVSystem, make_optimizer
+
+    n_dev = len(jax.devices())
+    assert n_dev == 8, "conftest must provide 8 virtual devices"
+    mesh = make_mesh(n_data=8)
+    model = _make_model()
+    system = AVSystem(model, video_model=_MouthEmbed(),
+                      optimizer=make_optimizer("adamw", lr=1e-3), mesh=mesh,
+                      donate_state=False)
+    batch = _batch(b=8)
+    state = system.create_state(jax.random.PRNGKey(0), batch)
+    state = replicate(mesh, state)
+    sbatch = shard_batch(mesh, batch)
+    rng = replicate(mesh, jax.random.PRNGKey(1))
+    state2, metrics = system.train_step(state, sbatch, rng)
+    assert np.isfinite(float(metrics["train_loss"]))
+
+    # single-device reference: same batch un-sharded must give ~same loss
+    system1 = AVSystem(model, video_model=_MouthEmbed(),
+                       optimizer=make_optimizer("adamw", lr=1e-3),
+                       donate_state=False)
+    state1 = system1.create_state(jax.random.PRNGKey(0), batch)
+    _, m1 = system1.train_step(state1, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(
+        float(metrics["train_loss"]), float(m1["train_loss"]),
+        rtol=1e-4, atol=1e-4,
+    )

@@ -1,0 +1,226 @@
+"""Training entry: ``python train.py --conf-dir rtfs_tpu/configs/X.yaml``.
+
+Counterpart of the reference ``train.py:24-179``: loads the two-level YAML
+config (argparse overrides merge on top), builds datasets + frozen video
+backbone + AVNet + optimizer, and runs the epoch loop with validation,
+ReduceLROnPlateau / manual LR divide, early stopping, orbax top-5
+checkpoints + resume, and a final self-describing best-model export.
+
+Scale-out is the TPU-native path: one jitted step over a
+``jax.sharding.Mesh`` data axis (all local devices by default); multi-host
+runs call ``jax.distributed.initialize()`` first (``--distributed``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_datasets(conf):
+    from rtfs_tpu.data import AVSpeechDataset, SyntheticAVDataset
+
+    data = conf["data"]
+    if data.get("synthetic"):
+        n = data.get("synthetic_samples", 64)
+        train_set = SyntheticAVDataset(n_samples=n, n_src=conf["audionet"]["n_src"])
+        val_set = SyntheticAVDataset(n_samples=max(n // 4, 4), seed=123,
+                                     n_src=conf["audionet"]["n_src"])
+        return train_set, val_set
+    train_set = AVSpeechDataset(
+        data["train_dir"],
+        n_src=conf["audionet"]["n_src"],
+        sample_rate=data["sample_rate"],
+        segment=data["segment"],
+        normalize_audio=data.get("normalize_audio", False),
+    )
+    val_set = AVSpeechDataset(
+        data["valid_dir"],
+        n_src=conf["audionet"]["n_src"],
+        sample_rate=data["sample_rate"],
+        segment=data["segment"],
+        normalize_audio=data.get("normalize_audio", False),
+    )
+    return train_set, val_set
+
+
+def main(conf, args):
+    import jax
+    import jax.numpy as jnp
+
+    from rtfs_tpu.config import build_avnet
+    from rtfs_tpu.models.video import make_video_model
+    from rtfs_tpu.parallel import make_mesh, replicate, shard_batch
+    from rtfs_tpu.train import (
+        AVSystem,
+        EpochDivideLR,
+        ReduceLROnPlateau,
+        make_optimizer,
+    )
+    from rtfs_tpu.train.checkpoints import CheckpointManager, export_model
+    from rtfs_tpu.train.optim import get_lr, set_lr
+
+    if args.distributed:
+        jax.distributed.initialize()
+
+    exp_dir = os.path.join(
+        conf["log"].get("path", "log/tmp"), conf["log"]["exp_name"]
+    )
+    os.makedirs(exp_dir, exist_ok=True)
+    with open(os.path.join(exp_dir, "conf.yaml"), "w") as f:
+        import yaml
+
+        yaml.safe_dump(conf, f)
+
+    train_set, val_set = build_datasets(conf)
+    model = build_avnet(conf)
+    video_model = make_video_model(conf["videonet"])
+
+    optim_conf = conf["optim"]
+    optimizer = make_optimizer(
+        optim_conf.get("optimizer", "adamw"),
+        lr=optim_conf.get("lr", 1e-3),
+        weight_decay=optim_conf.get("weight_decay", 0.0),
+        clip_grad_norm=5.0,
+    )
+
+    n_dev = jax.device_count()
+    mesh = make_mesh() if n_dev > 1 else None
+    system = AVSystem(model, video_model=video_model, optimizer=optimizer,
+                      mesh=mesh)
+
+    tconf = conf["training"]
+    batch_size = tconf["batch_size"]
+    global_batch = batch_size * max(n_dev, 1)
+
+    sample = next(train_set.batches(global_batch, shuffle=False))
+    sample.pop("key", None)
+    rng = jax.random.PRNGKey(args.seed)
+    state = system.create_state(rng, sample)
+
+    ckpt = CheckpointManager(exp_dir, top_k=5)
+    start_epoch = 0
+    if args.checkpoint or ckpt.latest_step() is not None:
+        restored = ckpt.restore(state)
+        if restored is not None:
+            state = restored
+            start_epoch = int(ckpt.latest_step()) + 1
+            print(f"resumed from epoch {start_epoch - 1}")
+
+    if mesh is not None:
+        state = replicate(mesh, state)
+
+    plateau = (
+        ReduceLROnPlateau(
+            factor=conf["sche"].get("factor", 0.5),
+            patience=conf["sche"].get("patience", 10),
+        )
+        if tconf.get("half_lr")
+        else None
+    )
+    divide = EpochDivideLR(
+        base_lr=optim_conf.get("lr", 1e-3),
+        divide_by=tconf.get("divide_lr_by"),
+        period=conf["sche"].get("patience", 0) or 0,
+    )
+
+    metrics_log = open(os.path.join(exp_dir, "metrics.jsonl"), "a")
+    best_val = float("inf")
+    bad_epochs = 0
+    patience = 15 if tconf.get("early_stop") else 10**9
+    host_id, num_hosts = jax.process_index(), jax.process_count()
+
+    for epoch in range(start_epoch, tconf["epochs"]):
+        t0 = time.time()
+        train_losses = []
+        for batch in train_set.batches(
+            global_batch, seed=args.seed, epoch=epoch,
+            host_id=host_id, num_hosts=num_hosts,
+        ):
+            batch.pop("key", None)
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+            rng, step_rng = jax.random.split(rng)
+            state, m = system.train_step(state, batch, step_rng)
+            train_losses.append(m["train_loss"])
+        train_loss = float(jnp.mean(jnp.stack(train_losses)))
+
+        val_losses = []
+        for batch in val_set.batches(
+            global_batch, shuffle=False, host_id=host_id, num_hosts=num_hosts
+        ):
+            batch.pop("key", None)
+            if mesh is not None:
+                batch = shard_batch(mesh, batch)
+            val_losses.append(system.val_step(state, batch)["val_loss"])
+        val_loss = float(jnp.mean(jnp.stack(val_losses)))
+
+        lr = get_lr(state.opt_state)
+        if plateau is not None:
+            new_lr = plateau.step(val_loss, lr)
+        else:
+            new_lr = lr
+        new_lr = divide.lr_for_epoch(epoch, new_lr)
+        if new_lr != lr:
+            state = state.replace(opt_state=set_lr(state.opt_state, new_lr))
+            print(f"lr -> {new_lr:.2e}")
+
+        row = {
+            "epoch": epoch,
+            "train_loss": train_loss,
+            "val_loss": val_loss,
+            "train_sisnr": -train_loss,
+            "val_sisnr": -val_loss,
+            "learning_rate": lr,
+            "secs": round(time.time() - t0, 1),
+        }
+        print(json.dumps(row))
+        metrics_log.write(json.dumps(row) + "\n")
+        metrics_log.flush()
+
+        if jax.process_index() == 0:
+            ckpt.save(epoch, jax.tree.map(np.asarray, state), val_loss)
+
+        if val_loss < best_val - 1e-9:
+            best_val = val_loss
+            bad_epochs = 0
+        else:
+            bad_epochs += 1
+            if bad_epochs > patience:
+                print(f"early stopping at epoch {epoch}")
+                break
+
+    # export best model
+    if jax.process_index() == 0:
+        best = ckpt.best_step()
+        if best is not None:
+            best_state = ckpt.restore(jax.tree.map(np.asarray, state), best)
+            export_model(
+                os.path.join(exp_dir, "best_model.bin"),
+                conf["audionet"],
+                best_state.params,
+                best_state.batch_stats,
+                best_state.video_variables,
+                infos={"best_epoch": int(best), "val_loss": best_val},
+            )
+            print(f"exported best model (epoch {best}) to {exp_dir}/best_model.bin")
+
+
+if __name__ == "__main__":
+    from rtfs_tpu.config import load_config
+    from rtfs_tpu.utils.parser import parse_overrides
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--conf-dir", default="rtfs_tpu/configs/lrs2_RTFSNet_4_layer.yaml")
+    parser.add_argument("--checkpoint", default=None)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--distributed", action="store_true")
+    args, overrides = parser.parse_known_args()
+
+    conf = load_config(args.conf_dir)
+    conf = parse_overrides(conf, overrides)
+    main(conf, args)
