@@ -133,9 +133,27 @@ class SRU(nn.Module):
     num_layers: int = 1
     bidirectional: bool = False
     highway_bias: float = -1.0
+    backend: str = "auto"  # "auto" | "pallas" | "scan" | "interpret"
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        backend = self.backend
+        if backend == "auto":
+            backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+        if backend in ("pallas", "interpret"):
+            from .sru_pallas import sru_layer_tpu
+
+            def layer_fn(h, w, wc, b):
+                return sru_layer_tpu(
+                    h, w, wc, b, self.hidden_size, self.bidirectional,
+                    interpret=(backend == "interpret"),
+                )
+        else:
+            def layer_fn(h, w, wc, b):
+                return sru_layer(
+                    h, w, wc, b, self.hidden_size, self.bidirectional
+                )
+
         dirs = 2 if self.bidirectional else 1
         d_out = dirs * self.hidden_size
         h = x
@@ -168,7 +186,5 @@ class SRU(nn.Module):
             bias = self.param(
                 f"bias_{layer}", b_init, (dirs, 2, self.hidden_size)
             )
-            h = sru_layer(
-                h, weight, weight_c, bias, self.hidden_size, self.bidirectional
-            )
+            h = layer_fn(h, weight, weight_c, bias)
         return h
