@@ -48,6 +48,27 @@ LAYER_REGISTRY = {
 }
 
 
+def _register_legacy():
+    """Legacy/ablation layers (reference legacy-configs breadth)."""
+    from . import legacy_layers as LL
+
+    LAYER_REGISTRY.update(
+        {
+            "CBAMBlock": LL.CBAMBlock,
+            "ShuffleAttention": LL.ShuffleAttention,
+            "CoTAttention": LL.CoTAttention,
+            "MLP": LL.MLPMixerLayer,
+            "Permutator": LL.PermutatorLayer,
+            "ConvolutionalRNN": LL.ConvolutionalRNN,
+            "BiLSTM2D": LL.BiLSTM2D,
+            "GlobalGALR": LL.GlobalGALR,
+        }
+    )
+
+
+_register_legacy()
+
+
 def build_layer(layer_conf: Dict[str, Any], in_chan: int) -> nn.Module:
     """Instantiate a globalatt layer from its config dict.
 

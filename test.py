@@ -91,5 +91,10 @@ if __name__ == "__main__":
     parser.add_argument("--test-dir", required=True)
     parser.add_argument("--model", default=None)
     parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = parser.parse_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     main(args)
