@@ -29,11 +29,19 @@ def main() -> None:
     from __graft_entry__ import _host_init_params
     from rtfs_tpu.config import build_avnet, load_config
 
-    model = build_avnet(load_config("lrs2_RTFSNet_4_layer"))
+    from rtfs_tpu.utils.precision import cast_params
+
+    conf = load_config("lrs2_RTFSNet_4_layer")
+    model = build_avnet(conf)
     wav1 = jnp.zeros((1, 32000), jnp.float32)
     emb1 = jnp.zeros((1, 50, 512), jnp.float32)
     variables = _host_init_params(model, wav1, emb1)
     variables = jax.device_put(variables)
+
+    import dataclasses as _dc
+
+    model_bf16 = _dc.replace(model, compute_dtype="bfloat16")
+    variables_bf16 = cast_params(variables)
 
     # Timing methodology: N forwards chained inside ONE on-device fori_loop
     # (step i's input is perturbed by step i-1's output), ending in a host
@@ -42,44 +50,54 @@ def main() -> None:
     # the only sound way to time through a tunneled backend.
     from functools import partial
 
-    @partial(jax.jit, static_argnames="n_iter")
-    def fwd_loop(v, w, m, n_iter):
-        def body(_, carry):
-            out = model.apply(v, w + 1e-12 * carry, m)
-            return jnp.sum(out)
+    def make_loop(mdl):
+        @partial(jax.jit, static_argnames="n_iter")
+        def fwd_loop(v, w, m, n_iter):
+            def body(_, carry):
+                out = mdl.apply(v, w + 1e-12 * carry, m)
+                return jnp.sum(out)
 
-        return jax.lax.fori_loop(0, n_iter, body, jnp.zeros((), jnp.float32))
+            return jax.lax.fori_loop(0, n_iter, body, jnp.zeros((), jnp.float32))
+
+        return fwd_loop
+
+    loops = {"f32": make_loop(model), "bf16": make_loop(model_bf16)}
 
     rng = np.random.default_rng(0)
     best = 0.0
     best_bs = 0
-    for bs in (8, 16, 32):
+    best_prec = "f32"
+    for bs, prec in ((8, "f32"), (8, "bf16"), (16, "bf16"), (32, "bf16")):
+        m = model if prec == "f32" else model_bf16
+        v = variables if prec == "f32" else variables_bf16
         wav = jnp.asarray(rng.standard_normal((bs, 32000)).astype(np.float32))
         emb = jnp.asarray(
             rng.standard_normal((bs, 50, 512)).astype(np.float32)
         )
         n_iter = 20
-        float(fwd_loop(variables, wav, emb, 1))  # compile 1-iter variant
+        fwd_loop = loops[prec]
+        float(fwd_loop(v, wav, emb, 1))  # compile 1-iter variant
         t1 = time.perf_counter()
-        float(fwd_loop(variables, wav, emb, 1))
+        float(fwd_loop(v, wav, emb, 1))
         overhead = time.perf_counter() - t1  # dispatch+fetch cost
-        float(fwd_loop(variables, wav, emb, n_iter))  # compile N-iter
+        float(fwd_loop(v, wav, emb, n_iter))  # compile N-iter
         t0 = time.perf_counter()
-        float(fwd_loop(variables, wav, emb, n_iter))
+        float(fwd_loop(v, wav, emb, n_iter))
         total = time.perf_counter() - t0
         dt = max(total - overhead, 1e-9) / (n_iter - 1)
         audio_sec_per_s = bs * 2.0 / dt
         print(
-            f"# bs={bs}: {dt*1e3:.2f} ms/step, {audio_sec_per_s:.0f} audio-s/s",
+            f"# bs={bs} {prec}: {dt*1e3:.2f} ms/step, "
+            f"{audio_sec_per_s:.0f} audio-s/s",
             file=sys.stderr,
         )
         if audio_sec_per_s > best:
-            best, best_bs = audio_sec_per_s, bs
+            best, best_bs, best_prec = audio_sec_per_s, bs, prec
 
     print(
         json.dumps(
             {
-                "metric": f"rtfsnet4_inference_throughput_bs{best_bs}",
+                "metric": f"rtfsnet4_inference_throughput_bs{best_bs}_{best_prec}",
                 "value": round(best, 1),
                 "unit": "audio-sec/s/chip",
                 "vs_baseline": round(best / BASELINE_AUDIO_SEC_PER_S, 2),

@@ -1,0 +1,117 @@
+"""Weak-scaling benchmark: audio-seconds/s/chip at 1..N devices.
+
+The BASELINE north-star asks for >=80% weak-scaling efficiency on a
+multi-host v5e slice. This harness measures it wherever devices exist:
+per-device batch is held constant while the mesh's ``data`` axis widens;
+efficiency_N = throughput_per_chip(N) / throughput_per_chip(1).
+
+On the single-chip dev environment it still validates the sharded-step
+machinery end to end (run with XLA_FLAGS=--xla_force_host_platform_device_count=8
+JAX_PLATFORMS=cpu for a functional 8-way check; numbers there reflect CPU
+contention, not ICI).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def bench_n_devices(n_dev: int, per_device_batch: int, wav_len: int,
+                    n_iter: int = 8):
+    import jax
+    import jax.numpy as jnp
+
+    from rtfs_tpu.config import build_avnet, load_config
+    from rtfs_tpu.parallel import make_mesh, replicate, shard_batch
+    from rtfs_tpu.train import AVSystem, make_optimizer
+    from rtfs_tpu.train.system import TrainState
+    from __graft_entry__ import _host_init_params
+    from flax.core import FrozenDict
+
+    mesh = make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
+    conf = load_config("lrs2_RTFSNet_4_layer")
+    model = build_avnet(conf)
+    system = AVSystem(model, video_model=None,
+                      optimizer=make_optimizer("adamw", lr=1e-3), mesh=mesh,
+                      donate_state=False)
+
+    b = per_device_batch * n_dev
+    rng = np.random.default_rng(0)
+    batch = {
+        "mix": rng.standard_normal((b, wav_len)).astype(np.float32) * 0.1,
+        "src": rng.standard_normal((b, 1, wav_len)).astype(np.float32) * 0.1,
+    }
+    variables = _host_init_params(
+        model, jnp.zeros((b, wav_len)), jnp.zeros((b, 13, 512))
+    )
+    # audio-only system (video_model=None): model still needs mouth emb ->
+    # wrap forward with a fixed zero embedding via the batch.
+    emb = np.zeros((b, 13, 512), np.float32)
+    batch["mouth"] = emb
+
+    class _Passthrough:
+        def init(self, rngs, mouth):
+            return {}
+
+        def apply(self, variables, mouth):
+            return mouth
+
+    system.video_model = _Passthrough()
+
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", FrozenDict()),
+        opt_state=system.optimizer.init(variables["params"]),
+        video_variables={},
+    )
+    state = replicate(mesh, state)
+    sbatch = shard_batch(mesh, batch)
+    rng_dev = replicate(mesh, jax.random.PRNGKey(0))
+
+    system.compile()
+    state, _ = system.train_step(state, sbatch, rng_dev)  # compile
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        state, m = system.train_step(state, sbatch, rng_dev)
+    jax.block_until_ready(state.params)
+    dt = (time.perf_counter() - t0) / n_iter
+    audio_sec = b * (wav_len / 16000.0)
+    return audio_sec / dt / n_dev  # audio-sec/s/chip
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--per-device-batch", type=int, default=2)
+    parser.add_argument("--wav-len", type=int, default=16000)
+    parser.add_argument("--devices", type=int, nargs="*", default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    n_total = jax.device_count()
+    dev_counts = args.devices or sorted(
+        {1, 2, n_total} & set(range(1, n_total + 1))
+    )
+    results = {}
+    for n in dev_counts:
+        thr = bench_n_devices(n, args.per_device_batch, args.wav_len)
+        results[n] = thr
+        print(f"# {n} devices: {thr:.1f} audio-sec/s/chip", flush=True)
+    base = results[min(results)]
+    eff = {n: results[n] / base for n in results}
+    print(json.dumps({
+        "metric": "train_weak_scaling_efficiency",
+        "value": round(min(eff.values()), 3),
+        "unit": "fraction",
+        "per_chip_throughput": {str(k): round(v, 1) for k, v in results.items()},
+    }))
+
+
+if __name__ == "__main__":
+    main()

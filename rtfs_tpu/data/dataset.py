@@ -88,22 +88,19 @@ class AVSpeechDataset:
         return len(self.mix)
 
     def _read_wav(self, path: str, stop: Optional[int]):
+        # Preferred: the framework's native C++ decoder (GIL-released,
+        # thread-parallel); falls back to soundfile, then scipy.
+        from . import native_wav
+
+        if native_wav.native_available():
+            return native_wav.read_wav(path, stop)
         try:
             import soundfile as sf
 
             wav, _ = sf.read(path, start=0, stop=stop, dtype="float32")
             return wav
         except ImportError:
-            from scipy.io import wavfile
-
-            _, wav = wavfile.read(path)
-            if wav.dtype == np.int16:
-                wav = wav.astype(np.float32) / 32768.0
-            elif wav.dtype == np.int32:
-                wav = wav.astype(np.float32) / 2147483648.0
-            else:
-                wav = wav.astype(np.float32)
-            return wav[:stop] if stop else wav
+            return native_wav.read_wav(path, stop)  # scipy fallback inside
 
     def __getitem__(self, idx: int, rng: Optional[np.random.Generator] = None):
         stop = self.seg_len

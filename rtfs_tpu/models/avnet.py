@@ -142,7 +142,9 @@ class STFTDecoder(nn.Module):
                 padding=(self.kernel_size - 1) // 2,
                 use_bias=self.use_bias, xavier_init=True, nd=2,
             )(x)
-        spec = jax.lax.complex(x[..., 0], x[..., 1])  # (B*n_src, T, F)
+        spec = jax.lax.complex(
+            x[..., 0].astype(jnp.float32), x[..., 1].astype(jnp.float32)
+        )  # (B*n_src, T, F)
         window = stft_ops.hann_window(self.win)
         wav = stft_ops.istft(spec, self.win, self.hop_length, window, length)
         return wav.reshape(b, n_src, length)
@@ -557,6 +559,11 @@ class AVNet(nn.Module):
     video_bn_params: Dict[str, Any] = dataclasses.field(default_factory=dict)
     video_params: Dict[str, Any] = dataclasses.field(default_factory=dict)
     fusion_params: Dict[str, Any] = dataclasses.field(default_factory=dict)
+    # "bfloat16" runs the refinement core in bf16 (STFT analysis/synthesis,
+    # complex masking and losses stay fp32); params are cast at use via
+    # rtfs_tpu.utils.precision.cast_params. Halves HBM traffic on the
+    # memory-bound conv/fusion path.
+    compute_dtype: str = "float32"
 
     def setup(self):
         edp = dict(self.enc_dec_params)
@@ -643,9 +650,15 @@ class AVNet(nn.Module):
 
     def __call__(self, audio_mixture, mouth_embedding=None, train: bool = False):
         length = audio_mixture.shape[-1]
+        dtype = jnp.dtype(self.compute_dtype)
         embedding = self.encoder(audio_mixture, train)  # (B,T,(F,),C)
+        if dtype != jnp.float32:
+            embedding = embedding.astype(dtype)
+            mouth_embedding = mouth_embedding.astype(dtype)
         audio = self.audio_bottleneck(embedding, train)
         video = self.video_bottleneck(mouth_embedding, train)
         refined = self.refinement_module(audio, video, train)
         separated = self.mask_generator(refined, embedding, train)
+        if dtype != jnp.float32:
+            separated = separated.astype(jnp.float32)
         return self.decoder(separated, length, train)

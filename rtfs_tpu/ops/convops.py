@@ -72,6 +72,7 @@ def conv(
     dn = jax.lax.conv_dimension_numbers(
         x.shape, w.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
     )
+    x = x.astype(w.dtype)  # mixed-precision: compute in the param dtype
     out = jax.lax.conv_general_dilated(
         x,
         w,
@@ -133,6 +134,7 @@ def conv_transpose(
         w_flipped.shape,
         (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"),
     )
+    x = x.astype(w.dtype)  # mixed-precision: compute in the param dtype
     out = jax.lax.conv_general_dilated(
         x,
         w_flipped,

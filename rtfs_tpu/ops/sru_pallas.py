@@ -323,6 +323,7 @@ def sru_layer_tpu(
             else x[..., d * hidden : (d + 1) * hidden]
         )
         u_gates = u_d[:, :, :3]
+        x_hw = x_hw.astype(u.dtype)  # recurrence runs in the matmul dtype
         if d == 1:
             u_gates = jnp.flip(u_gates, axis=1)
             x_hw = jnp.flip(x_hw, axis=1)
