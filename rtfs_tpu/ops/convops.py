@@ -161,7 +161,14 @@ def interp_nearest(x: jax.Array, size: Sequence[int]) -> jax.Array:
         out_sz = int(size[axis])
         if in_sz == out_sz:
             continue
-        idx = np.floor(np.arange(out_sz) * (in_sz / out_sz)).astype(np.int64)
+        # torch computes src = floor(float32(i) * (float32(in)/float32(out)))
+        # in single precision (upsample_nearest CPU/CUDA kernels); double
+        # precision floor(i * in/out) is 1 ulp off at exact multiples
+        # (e.g. 3280->25 at i=15). Match torch bit-for-bit.
+        scale = np.float32(in_sz) / np.float32(out_sz)
+        idx = np.floor(
+            np.arange(out_sz, dtype=np.float32) * scale
+        ).astype(np.int64)
         idx = np.minimum(idx, in_sz - 1)
         x = jnp.take(x, jnp.asarray(idx), axis=1 + axis)
     return x

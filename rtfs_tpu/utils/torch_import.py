@@ -266,6 +266,35 @@ def _global_attention(tb, f, t):
     _ffn(tb, f + ["FeedForwardNetwork_0"], f"{t}.FFN")
 
 
+def _rnn_params(tb, f, t):
+    """torch nn.LSTM/GRU -> flax ops.rnn.RNN param names (transposed)."""
+    layer = 0
+    while tb.has(f"{t}.weight_ih_l{layer}"):
+        for d in ("", "_reverse"):
+            sfx = f"l{layer}{d}"
+            if not tb.has(f"{t}.weight_ih_{sfx}"):
+                continue
+            tb.put_p(f + [f"weight_ih_{sfx}"],
+                     np.asarray(tb.t(f"{t}.weight_ih_{sfx}")).T)
+            tb.put_p(f + [f"weight_hh_{sfx}"],
+                     np.asarray(tb.t(f"{t}.weight_hh_{sfx}")).T)
+            tb.put_p(f + [f"bias_ih_{sfx}"], tb.t(f"{t}.bias_ih_{sfx}"))
+            tb.put_p(f + [f"bias_hh_{sfx}"], tb.t(f"{t}.bias_hh_{sfx}"))
+        layer += 1
+
+
+def _rnn_projection(tb, f, t):
+    """RNNProjection: LN -> RNN -> PReLU+Linear -> LN (rnn_layers.py:12-59)."""
+    tb.put_p(f + ["LayerNorm_0", "scale"], tb.t(f"{t}.norm1.weight"))
+    tb.put_p(f + ["LayerNorm_0", "bias"], tb.t(f"{t}.norm1.bias"))
+    _rnn_params(tb, f + ["RNN_0"], f"{t}.rnn")
+    tb.put_p(f + ["PReLU_0", "alpha"], tb.t(f"{t}.proj.0.weight"))
+    tb.put_p(f + ["Dense_0", "kernel"], np.asarray(tb.t(f"{t}.proj.2.weight")).T)
+    tb.put_p(f + ["Dense_0", "bias"], tb.t(f"{t}.proj.2.bias"))
+    tb.put_p(f + ["LayerNorm_1", "scale"], tb.t(f"{t}.norm2.weight"))
+    tb.put_p(f + ["LayerNorm_1", "bias"], tb.t(f"{t}.norm2.bias"))
+
+
 def _globalatt_layer(tb, f, t, layer_conf):
     lt = layer_conf["layer_type"]
     if lt == "DualPathRNN":
@@ -275,9 +304,24 @@ def _globalatt_layer(tb, f, t, layer_conf):
     elif lt == "GlobalAttention":
         _global_attention(tb, f, t)
     elif lt == "GlobalAttentionRNN":
-        raise NotImplementedError("GlobalAttentionRNN import: TDFNet round 2")
+        _rnn_projection(tb, f + ["RNNProjection_0"], f"{t}.RNN")
     else:
         raise NotImplementedError(f"import of layer {lt}")
+
+
+def _frcnn_block(tb, f, t, params):
+    depth = params.get("upsampling_depth", 4)
+    _conv_norm_act(tb, f + ["gateway"], f"{t}.gateway")
+    _conv_norm_act(tb, f + ["projection"], f"{t}.projection")
+    for i in range(depth):
+        _conv_norm_act(tb, f + [f"downsample_layers_{i}"],
+                       f"{t}.downsample_layers.{i}")
+        if i > 0:
+            _conv_norm_act(tb, f + [f"lateral_down_{i}"],
+                           f"{t}.fusion_layers.{i}.0")
+        _conv_norm_act(tb, f + [f"concat_layers_{i}"], f"{t}.concat_layers.{i}")
+    _conv_norm_act(tb, f + ["residual_conv_1"], f"{t}.residual_conv.0")
+    _conv_norm_act(tb, f + ["residual_conv_2"], f"{t}.residual_conv.1")
 
 
 def _tdanet_block(tb, f, t, params):
@@ -300,11 +344,13 @@ def _tdanet_block(tb, f, t, params):
 def _separator(tb, f, t, params):
     shared = params.get("shared", False)
     repeats = params.get("repeats", 1)
+    net = params.get("audio_net") or params.get("video_net") or "TDANet"
+    block_fn = _frcnn_block if net == "FRCNN" else _tdanet_block
     if shared:
-        _tdanet_block(tb, f + ["blocks"], f"{t}.blocks", params)
+        block_fn(tb, f + ["blocks"], f"{t}.blocks", params)
     else:
         for i in range(repeats):
-            _tdanet_block(tb, f + [f"blocks_{i}"], f"{t}.blocks.{i}", params)
+            block_fn(tb, f + [f"blocks_{i}"], f"{t}.blocks.{i}", params)
 
 
 def _attn_fusion_cell(tb, f, t):
@@ -318,7 +364,27 @@ def _fusion(tb, f, t, fusion_params, video_fusion_first):
     ftype = fusion_params.get("fusion_type", "ConcatFusion")
     shared = fusion_params.get("fusion_shared", False)
     if not shared:
-        raise NotImplementedError("per-repeat fusion import: round 2")
+        i = 0
+        while tb.has(f"{t}.fusion_module.{i}.audio_conv.full_layer.2.weight") or \
+              tb.has(f"{t}.fusion_module.{i}.audio_lstm.key_embed.full_layer.2.weight"):
+            fm = f + [f"fusion_module_{i}"]
+            tm = f"{t}.fusion_module.{i}"
+            if ftype == "ConcatFusion":
+                _conv_norm_act(tb, fm + ["ConvNormAct_0"], f"{tm}.audio_conv")
+                if tb.has(f"{tm}.video_conv.full_layer.2.weight"):
+                    _conv_norm_act(tb, fm + ["ConvNormAct_1"], f"{tm}.video_conv")
+            elif ftype == "ATTNFusion":
+                cell = 0
+                if tb.has(f"{tm}.video_lstm.key_embed.full_layer.2.weight"):
+                    _attn_fusion_cell(tb, fm + [f"ATTNFusionCell_{cell}"],
+                                      f"{tm}.video_lstm")
+                    cell += 1
+                _attn_fusion_cell(tb, fm + [f"ATTNFusionCell_{cell}"],
+                                  f"{tm}.audio_lstm")
+            else:
+                raise NotImplementedError(f"fusion import for {ftype}")
+            i += 1
+        return
     if ftype == "ATTNFusion":
         cell = 0
         if video_fusion_first and tb.has(f"{t}.fusion_module.video_lstm.key_embed.full_layer.2.weight"):
@@ -347,7 +413,14 @@ def convert_avnet(state_dict, audionet_conf):
     sd = {k: np.asarray(v) for k, v in state_dict.items()}
     tb = _TreeBuilder(sd)
 
-    _conv_norm_act(tb, ["encoder", "ConvNormAct_0"], "encoder.conv")
+    if tb.has("encoder.conv.full_layer.2.weight"):
+        _conv_norm_act(tb, ["encoder", "ConvNormAct_0"], "encoder.conv")
+    else:
+        i = 0
+        while tb.has(f"encoder.encoder.{i}.full_layer.2.weight"):
+            _conv_norm_act(tb, ["encoder", f"ConvNormAct_{i}"],
+                           f"encoder.encoder.{i}")
+            i += 1
     _conv_norm_act(tb, ["audio_bottleneck"], "audio_bottleneck")
     if tb.has("video_bottleneck.full_layer.2.weight"):
         _conv_norm_act(tb, ["video_bottleneck"], "video_bottleneck")
@@ -376,11 +449,11 @@ def convert_avnet(state_dict, audionet_conf):
         _conv_norm_act(tb, ["mask_generator", "ConvNormAct_2"],
                        "mask_generator.gate")
 
-    # decoder ConvTranspose2d (Cin, 2, k, k) -> (k, k, 2, Cin)
+    # decoder ConvTransposeNd (Cin, Cout, *k) -> (*k, Cout, Cin)
     if tb.has("decoder.decoder.weight"):
         w = np.asarray(tb.t("decoder.decoder.weight"))
-        tb.put_p(["decoder", "ConvTranspose_0", "kernel"],
-                 w.transpose(2, 3, 1, 0))
+        perm = tuple(range(2, w.ndim)) + (1, 0)
+        tb.put_p(["decoder", "ConvTranspose_0", "kernel"], w.transpose(perm))
         if tb.has("decoder.decoder.bias"):
             tb.put_p(["decoder", "ConvTranspose_0", "bias"],
                      tb.t("decoder.decoder.bias"))

@@ -22,8 +22,7 @@ pytestmark = pytest.mark.skipif(
 )
 
 
-@pytest.fixture(scope="module")
-def reference_model_and_conf():
+def _build_reference(config_name, shrink_repeats=None):
     sys.path.insert(0, os.path.dirname(__file__))
     from ref_stubs import stub_reference_deps
 
@@ -32,8 +31,11 @@ def reference_model_and_conf():
     import yaml
 
     conf = yaml.safe_load(
-        open(os.path.join(REF, "config/lrs2_RTFSNet_4_layer.yaml"))
+        open(os.path.join(REF, f"config/{config_name}.yaml"))
     )
+    if shrink_repeats:
+        conf["audionet"]["audio_params"]["repeats"] = shrink_repeats[0]
+        conf["audionet"]["video_params"]["repeats"] = shrink_repeats[1]
     from src.models import AVNet as RefAVNet
 
     torch.manual_seed(0)
@@ -49,7 +51,15 @@ def reference_model_and_conf():
     return ref, conf
 
 
-def test_avnet_waveform_allclose(reference_model_and_conf):
+@pytest.mark.parametrize(
+    "config_name,shrink",
+    [
+        ("lrs2_RTFSNet_4_layer", None),
+        ("lrs2_TDFNet_16_3", (3, 2)),   # shrink repeats for CPU speed
+        ("lrs2_CTCNet_16_layer", (3, 2)),
+    ],
+)
+def test_avnet_waveform_allclose(config_name, shrink):
     import torch
 
     import jax.numpy as jnp
@@ -57,7 +67,7 @@ def test_avnet_waveform_allclose(reference_model_and_conf):
     from rtfs_tpu.config import build_avnet
     from rtfs_tpu.utils.torch_import import convert_avnet
 
-    ref, conf = reference_model_and_conf
+    ref, conf = _build_reference(config_name, shrink)
     torch.manual_seed(1)
     wav = torch.randn(2, 32000) * 0.1
     mouth_emb = torch.randn(2, 512, 50) * 0.5  # reference layout (B, C, T)

@@ -219,7 +219,13 @@ if __name__ == "__main__":
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--distributed", action="store_true")
+    parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     args, overrides = parser.parse_known_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     conf = load_config(args.conf_dir)
     conf = parse_overrides(conf, overrides)
