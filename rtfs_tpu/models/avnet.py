@@ -564,6 +564,11 @@ class AVNet(nn.Module):
     # rtfs_tpu.utils.precision.cast_params. Halves HBM traffic on the
     # memory-bound conv/fusion path.
     compute_dtype: str = "float32"
+    # Optional jax.sharding.NamedSharding for the (B, T, F, C) TF maps:
+    # constrains the refinement core so XLA SPMD shards the frequency axis
+    # over an ICI "model" mesh axis (halo exchange for F-convs, collectives
+    # for the F-folded attention are compiler-inserted). None = unsharded.
+    tf_sharding: Any = None
 
     def setup(self):
         edp = dict(self.enc_dec_params)
@@ -656,8 +661,14 @@ class AVNet(nn.Module):
             embedding = embedding.astype(dtype)
             mouth_embedding = mouth_embedding.astype(dtype)
         audio = self.audio_bottleneck(embedding, train)
+        if self.tf_sharding is not None and audio.ndim == 4:
+            audio = jax.lax.with_sharding_constraint(audio, self.tf_sharding)
         video = self.video_bottleneck(mouth_embedding, train)
         refined = self.refinement_module(audio, video, train)
+        if self.tf_sharding is not None and refined.ndim == 4:
+            refined = jax.lax.with_sharding_constraint(
+                refined, self.tf_sharding
+            )
         separated = self.mask_generator(refined, embedding, train)
         if dtype != jnp.float32:
             separated = separated.astype(jnp.float32)
