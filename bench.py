@@ -68,7 +68,6 @@ def main() -> None:
     best_bs = 0
     best_prec = "f32"
     for bs, prec in ((8, "f32"), (8, "bf16"), (16, "bf16"), (32, "bf16")):
-        m = model if prec == "f32" else model_bf16
         v = variables if prec == "f32" else variables_bf16
         wav = jnp.asarray(rng.standard_normal((bs, 32000)).astype(np.float32))
         emb = jnp.asarray(
@@ -76,14 +75,19 @@ def main() -> None:
         )
         n_iter = 20
         fwd_loop = loops[prec]
-        float(fwd_loop(v, wav, emb, 1))  # compile 1-iter variant
-        t1 = time.perf_counter()
-        float(fwd_loop(v, wav, emb, 1))
-        overhead = time.perf_counter() - t1  # dispatch+fetch cost
-        float(fwd_loop(v, wav, emb, n_iter))  # compile N-iter
-        t0 = time.perf_counter()
-        float(fwd_loop(v, wav, emb, n_iter))
-        total = time.perf_counter() - t0
+        try:
+            float(fwd_loop(v, wav, emb, 1))  # compile 1-iter variant
+            t1 = time.perf_counter()
+            float(fwd_loop(v, wav, emb, 1))
+            overhead = time.perf_counter() - t1  # dispatch+fetch cost
+            float(fwd_loop(v, wav, emb, n_iter))  # compile N-iter
+            t0 = time.perf_counter()
+            float(fwd_loop(v, wav, emb, n_iter))
+            total = time.perf_counter() - t0
+        except Exception as e:  # a failed variant must not kill the bench
+            print(f"# bs={bs} {prec} FAILED: {type(e).__name__}",
+                  file=sys.stderr)
+            continue
         dt = max(total - overhead, 1e-9) / (n_iter - 1)
         audio_sec_per_s = bs * 2.0 / dt
         print(

@@ -74,13 +74,19 @@ def bench_n_devices(n_dev: int, per_device_batch: int, wav_len: int,
     rng_dev = replicate(mesh, jax.random.PRNGKey(0))
 
     system.compile()
-    state, _ = system.train_step(state, sbatch, rng_dev)  # compile
-    jax.block_until_ready(state.params)
+    state, m = system.train_step(state, sbatch, rng_dev)  # compile
+    float(m["train_loss"])  # host fetch: forces real completion
+    t0 = time.perf_counter()
+    float(system.train_step(state, sbatch, rng_dev)[1]["train_loss"])
+    overhead = time.perf_counter() - t0  # single-step incl. dispatch+fetch
     t0 = time.perf_counter()
     for _ in range(n_iter):
         state, m = system.train_step(state, sbatch, rng_dev)
-    jax.block_until_ready(state.params)
-    dt = (time.perf_counter() - t0) / n_iter
+    # fetching the LAST loss forces the whole chained sequence to finish
+    # (state threads through every step; block_until_ready alone has been
+    # observed returning early on relay-backed devices)
+    float(m["train_loss"])
+    dt = max(time.perf_counter() - t0 - overhead, 1e-9) / max(n_iter - 1, 1)
     audio_sec = b * (wav_len / 16000.0)
     return audio_sec / dt / n_dev  # audio-sec/s/chip
 

@@ -57,6 +57,7 @@ class AVSystem:
         mesh: Optional[Mesh] = None,
         train_video_model: bool = False,
         donate_state: bool = True,
+        online_mix: bool = False,
     ):
         self.model = model
         self.video_model = video_model
@@ -64,6 +65,9 @@ class AVSystem:
         self.mesh = mesh
         self.train_video_model = train_video_model
         self.donate_state = donate_state
+        # online mixture augmentation (reference core.py:96-99,184-202):
+        # audio-only training path re-mixes sources across the batch.
+        self.online_mix = online_mix and video_model is None
         if train_video_model:
             raise NotImplementedError(
                 "joint video training lands with the AE pretrain flow"
@@ -103,6 +107,11 @@ class AVSystem:
     def _forward_loss(
         self, params, batch_stats, video_variables, batch, rng, train: bool
     ):
+        if train and self.online_mix:
+            from ..data.mixing import online_mixing
+
+            mix_rng, rng = jax.random.split(rng)
+            batch = online_mixing(batch, mix_rng)
         wav, targets = batch["mix"], batch["src"]
         if targets.ndim == 2:
             targets = targets[:, None]

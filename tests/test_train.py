@@ -180,3 +180,19 @@ def test_data_parallel_sharded_step():
         float(metrics["train_loss"]), float(m1["train_loss"]),
         rtol=1e-4, atol=1e-4,
     )
+
+
+def test_online_mixing():
+    """Online mixing preserves per-slot energies and mix = sum(src)."""
+    from rtfs_tpu.data.mixing import online_mixing
+
+    rng = np.random.default_rng(0)
+    src = rng.standard_normal((4, 2, 100)).astype(np.float32)
+    batch = {"src": jnp.asarray(src), "mix": jnp.asarray(src.sum(1))}
+    out = online_mixing(batch, jax.random.PRNGKey(0))
+    np.testing.assert_allclose(
+        np.asarray(out["mix"]), np.asarray(out["src"]).sum(1), atol=1e-5
+    )
+    e_in = (src**2).sum(-1)
+    e_out = (np.asarray(out["src"]) ** 2).sum(-1)
+    np.testing.assert_allclose(e_out, e_in, rtol=1e-3)

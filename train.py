@@ -90,10 +90,10 @@ def main(conf, args):
 
     n_dev = jax.device_count()
     mesh = make_mesh() if n_dev > 1 else None
-    system = AVSystem(model, video_model=video_model, optimizer=optimizer,
-                      mesh=mesh)
-
     tconf = conf["training"]
+    system = AVSystem(model, video_model=video_model, optimizer=optimizer,
+                      mesh=mesh, online_mix=tconf.get("online_mix", False))
+
     batch_size = tconf["batch_size"]
     global_batch = batch_size * max(n_dev, 1)
 
