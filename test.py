@@ -60,6 +60,10 @@ def main(args):
         emb = video_model.apply(video_variables, mouth)
         return model.apply(variables, wav, emb)
 
+    examples_dir = os.path.join(out_dir, "examples")
+    if args.save_examples:
+        os.makedirs(examples_dir, exist_ok=True)
+
     n = 0
     for batch in test_set.batches(args.batch_size, shuffle=False,
                                   drop_last=False):
@@ -69,6 +73,15 @@ def main(args):
         ))
         for b in range(ests.shape[0]):
             tracker(batch["mix"][b], batch["src"][b], ests[b], keys[b])
+            if n < args.save_examples:
+                from inference import write_wav
+
+                sr = conf["data"]["sample_rate"]
+                stem = os.path.join(examples_dir, f"ex{n}_{keys[b]}")
+                write_wav(stem + "_mix.wav", batch["mix"][b], sr)
+                for s_i in range(ests.shape[1]):
+                    write_wav(f"{stem}_est{s_i+1}.wav", ests[b, s_i], sr)
+                    write_wav(f"{stem}_src{s_i+1}.wav", batch["src"][b, s_i], sr)
             n += 1
         if n % 50 == 0:
             mean = tracker.get_mean()
@@ -91,6 +104,8 @@ if __name__ == "__main__":
     parser.add_argument("--test-dir", required=True)
     parser.add_argument("--model", default=None)
     parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--save-examples", type=int, default=0,
+                        help="export this many example separations as wavs")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     args = parser.parse_args()
     if args.cpu:

@@ -69,3 +69,22 @@ def test_pit_single_source():
     loss = pit_loss(pairwise_neg_sisdr, jnp.asarray(ests), jnp.asarray(targets))
     pw = pairwise_neg_sisdr(jnp.asarray(ests), jnp.asarray(targets))
     np.testing.assert_allclose(float(loss), float(pw.mean()), rtol=1e-6)
+
+
+def test_separate_long_reconstruction():
+    """Chunked separation of an identity-ish model reconstructs the input."""
+    import jax.numpy as jnp_
+
+    from rtfs_tpu.utils.separator import separate_long
+
+    class Identity:
+        def apply(self, variables, wav, emb=None):
+            return wav[:, None, :]  # (B, 1, L)
+
+    rng = np.random.default_rng(0)
+    wav = rng.standard_normal(50000).astype(np.float32) * 0.1
+    out = separate_long(Identity(), {}, wav, segment_samples=16000)
+    assert out.shape == (1, 50000)
+    # energy renorm in separate_sample preserves scale for identity
+    corr = np.corrcoef(out[0], wav)[0, 1]
+    assert corr > 0.999

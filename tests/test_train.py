@@ -196,3 +196,22 @@ def test_online_mixing():
     e_in = (src**2).sum(-1)
     e_out = (np.asarray(out["src"]) ** 2).sum(-1)
     np.testing.assert_allclose(e_out, e_in, rtol=1e-3)
+
+
+def test_training_determinism():
+    """Same seeds -> bitwise-identical first-step loss and params."""
+    from rtfs_tpu.train import AVSystem, make_optimizer
+
+    losses, leaves = [], []
+    for _ in range(2):
+        model = _make_model()
+        system = AVSystem(model, video_model=_MouthEmbed(),
+                          optimizer=make_optimizer("adamw", lr=1e-3),
+                          donate_state=False)
+        batch = _batch()
+        state = system.create_state(jax.random.PRNGKey(7), batch)
+        state, m = system.train_step(state, batch, jax.random.PRNGKey(8))
+        losses.append(float(m["train_loss"]))
+        leaves.append(np.asarray(jax.tree.leaves(state.params)[0]))
+    assert losses[0] == losses[1]
+    np.testing.assert_array_equal(leaves[0], leaves[1])

@@ -30,7 +30,8 @@ def _load_reference_videomodel():
     return FRCNNVideoModel
 
 
-def test_frcnn_videomodel_matches_reference():
+@pytest.mark.parametrize("backbone", ["resnet", "shufflenet"])
+def test_frcnn_videomodel_matches_reference(backbone):
     import torch
 
     import jax
@@ -41,7 +42,7 @@ def test_frcnn_videomodel_matches_reference():
 
     RefModel = _load_reference_videomodel()
     torch.manual_seed(0)
-    ref = RefModel(backbone_type="resnet", relu_type="prelu",
+    ref = RefModel(backbone_type=backbone, relu_type="prelu",
                    pretrain=None, print_macs=False)
     ref.eval()
     # randomize BN running stats so eval-mode parity is actually exercised
@@ -55,10 +56,10 @@ def test_frcnn_videomodel_matches_reference():
         ref_out = ref(x).numpy()  # (B, 512, T)
 
     sd = {k: v.numpy() for k, v in ref.state_dict().items()}
-    variables = convert_frcnn_video(sd)
+    variables = convert_frcnn_video(sd, backbone_type=backbone)
 
-    model = JaxModel(backbone_type="resnet", relu_type="prelu")
-    got = model.apply(variables, jnp.asarray(x.numpy()[:, 0]))  # (B, T, 512)
+    model = JaxModel(backbone_type=backbone, relu_type="prelu")
+    got = model.apply(variables, jnp.asarray(x.numpy()[:, 0]))  # (B, T, C)
     got = np.asarray(got).transpose(0, 2, 1)
 
     assert got.shape == ref_out.shape
