@@ -53,59 +53,43 @@ def convert_frcnn_video(
         put(stats, fprefix_stats + ["mean"], sd[f"{tname}.running_mean"])
         put(stats, fprefix_stats + ["var"], sd[f"{tname}.running_var"])
 
-    def map_convbn(tprefix, fprefix):
-        """_ConvBN: torch Sequential [conv, bn(, relu)]."""
-        put(params, fprefix + ["Conv_0", "kernel"],
-            _conv_w(sd[f"{tprefix}.0.weight"]))
-        map_bn(f"{tprefix}.1", fprefix + ["BatchNorm_0", "BatchNorm_0"],
+    def map_convbn_seq(tconv, tbn, fprefix):
+        """torch [Conv, BN] pair at explicit keys -> a flax _ConvBN."""
+        put(params, fprefix + ["Conv_0", "kernel"], _conv_w(sd[tconv]))
+        map_bn(tbn, fprefix + ["BatchNorm_0", "BatchNorm_0"],
                fprefix + ["BatchNorm_0", "BatchNorm_0"])
 
     if backbone_type == "shufflenet":
-        # frontend handled below (shared); trunk = features + conv_last
+        # frontend (same layout as resnet: Conv3d + BN3d + PReLU)
         put(params, ["frontend_conv"], _conv_w(sd["frontend3D.0.weight"]))
         map_bn("frontend3D.1", ["BatchNorm_0", "BatchNorm_0"],
                ["BatchNorm_0", "BatchNorm_0"])
         if "frontend3D.2.weight" in sd:
             put(params, ["ChannelPReLU_0", "alpha"], sd["frontend3D.2.weight"])
         trunk = ["ShuffleNetV2Trunk_0"]
-        ir = 0
         # reference trunk = Sequential(features, conv_last, globalpool):
         # keys trunk.0.{i}.banch*, trunk.1.*
         i = 0
         while f"trunk.0.{i}.banch2.0.weight" in sd:
-            f = trunk + [f"InvertedResidual_{ir}"]
+            f = trunk + [f"InvertedResidual_{i}"]
             t = f"trunk.0.{i}"
             cb = 0
-            if f"trunk.0.{i}.banch1.0.weight" in sd:  # benchmodel 2
+            if f"{t}.banch1.0.weight" in sd:  # benchmodel 2 (strided)
                 # banch1: [dw conv, bn, pw conv, bn, relu]
-                put(params, f + [f"_ConvBN_{cb}", "Conv_0", "kernel"],
-                    _conv_w(sd[f"{t}.banch1.0.weight"]))
-                map_bn(f"{t}.banch1.1",
-                       f + [f"_ConvBN_{cb}", "BatchNorm_0", "BatchNorm_0"],
-                       f + [f"_ConvBN_{cb}", "BatchNorm_0", "BatchNorm_0"])
-                cb += 1
-                put(params, f + [f"_ConvBN_{cb}", "Conv_0", "kernel"],
-                    _conv_w(sd[f"{t}.banch1.2.weight"]))
-                map_bn(f"{t}.banch1.3",
-                       f + [f"_ConvBN_{cb}", "BatchNorm_0", "BatchNorm_0"],
-                       f + [f"_ConvBN_{cb}", "BatchNorm_0", "BatchNorm_0"])
-                cb += 1
-            # banch2: [pw,bn,relu,dw,bn,pw,bn,relu] -> 3 _ConvBN
+                for slot in (0, 2):
+                    map_convbn_seq(f"{t}.banch1.{slot}.weight",
+                                   f"{t}.banch1.{slot+1}",
+                                   f + [f"_ConvBN_{cb}"])
+                    cb += 1
+            # banch2: [pw, bn, relu, dw, bn, pw, bn, relu]
             for slot in (0, 3, 5):
-                put(params, f + [f"_ConvBN_{cb}", "Conv_0", "kernel"],
-                    _conv_w(sd[f"{t}.banch2.{slot}.weight"]))
-                map_bn(f"{t}.banch2.{slot+1}",
-                       f + [f"_ConvBN_{cb}", "BatchNorm_0", "BatchNorm_0"],
-                       f + [f"_ConvBN_{cb}", "BatchNorm_0", "BatchNorm_0"])
+                map_convbn_seq(f"{t}.banch2.{slot}.weight",
+                               f"{t}.banch2.{slot+1}",
+                               f + [f"_ConvBN_{cb}"])
                 cb += 1
-            ir += 1
             i += 1
-        # conv_last
-        put(params, trunk + ["_ConvBN_0", "Conv_0", "kernel"],
-            _conv_w(sd["trunk.1.0.weight"]))
-        map_bn("trunk.1.1",
-               trunk + ["_ConvBN_0", "BatchNorm_0", "BatchNorm_0"],
-               trunk + ["_ConvBN_0", "BatchNorm_0", "BatchNorm_0"])
+        map_convbn_seq("trunk.1.0.weight", "trunk.1.1",
+                       trunk + ["_ConvBN_0"])
         return {"params": params, "batch_stats": stats}
 
     if backbone_type != "resnet":

@@ -24,6 +24,7 @@ def main(args):
     from rtfs_tpu.metrics import ALLMetricsTracker
     from rtfs_tpu.models.video import make_video_model
     from rtfs_tpu.train.checkpoints import load_exported
+    from inference import write_wav
 
     conf = load_config(args.conf_dir)
     exp_dir = os.path.dirname(os.path.abspath(args.conf_dir))
@@ -74,8 +75,6 @@ def main(args):
         for b in range(ests.shape[0]):
             tracker(batch["mix"][b], batch["src"][b], ests[b], keys[b])
             if n < args.save_examples:
-                from inference import write_wav
-
                 sr = conf["data"]["sample_rate"]
                 stem = os.path.join(examples_dir, f"ex{n}_{keys[b]}")
                 write_wav(stem + "_mix.wav", batch["mix"][b], sr)
