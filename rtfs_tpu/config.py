@@ -53,4 +53,5 @@ def build_avnet(conf: Dict[str, Any]) -> AVNet:
         video_bn_params=a.get("video_bn_params", {}),
         video_params=a.get("video_params", {}),
         fusion_params=a.get("fusion_params", {}),
+        compute_dtype=a.get("compute_dtype", "float32"),
     )
