@@ -611,6 +611,7 @@ class AVNet(nn.Module):
             **_filter_kwargs_not(L.ConvNormAct, abn, exclude=("in_chan",)),
         )
         vbn = dict(self.video_bn_params)
+        vbn.setdefault("kernel_size", -1)  # identity when unconfigured
         vbn.setdefault("out_chan", max(self.video_bn_chan, 1))
         self.video_bottleneck = L.ConvNormAct(
             in_chan=max(self.pretrained_vout_chan, 1),
@@ -663,7 +664,13 @@ class AVNet(nn.Module):
         audio = self.audio_bottleneck(embedding, train)
         if self.tf_sharding is not None and audio.ndim == 4:
             audio = jax.lax.with_sharding_constraint(audio, self.tf_sharding)
-        video = self.video_bottleneck(mouth_embedding, train)
+        # audio-only mode (reference System(video_model=None)): no video
+        # branch; the refinement module runs audio repeats only.
+        video = (
+            None
+            if mouth_embedding is None
+            else self.video_bottleneck(mouth_embedding, train)
+        )
         refined = self.refinement_module(audio, video, train)
         if self.tf_sharding is not None and refined.ndim == 4:
             refined = jax.lax.with_sharding_constraint(

@@ -215,3 +215,29 @@ def test_training_determinism():
         leaves.append(np.asarray(jax.tree.leaves(state.params)[0]))
     assert losses[0] == losses[1]
     np.testing.assert_array_equal(leaves[0], leaves[1])
+
+
+def test_audio_only_training():
+    """No video branch: empty video/fusion params + video_model=None."""
+    from rtfs_tpu.models.avnet import AVNet
+    from rtfs_tpu.train import AVSystem, make_optimizer
+
+    a = {k: v for k, v in MICRO_AUDIONET.items()}
+    model = AVNet(
+        n_src=1,
+        enc_dec_params=a["enc_dec_params"],
+        audio_bn_params=a["audio_bn_params"],
+        audio_params=a["audio_params"],
+        mask_generation_params=a["mask_generation_params"],
+    )
+    system = AVSystem(model, video_model=None,
+                      optimizer=make_optimizer("adam", lr=1e-3),
+                      donate_state=False)
+    rng = np.random.default_rng(0)
+    src = rng.standard_normal((2, 1, WAV_LEN)).astype(np.float32) * 0.1
+    batch = {"mix": src[:, 0], "src": src}
+    state = system.create_state(jax.random.PRNGKey(0), batch)
+    state2, m = system.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["train_loss"]))
+    val = system.val_step(state2, batch)
+    assert np.isfinite(float(val["val_loss"]))

@@ -31,12 +31,14 @@ def build_datasets(conf):
         val_set = SyntheticAVDataset(n_samples=max(n // 4, 4), seed=123,
                                      n_src=conf["audionet"]["n_src"])
         return train_set, val_set
+    audio_only = not conf.get("videonet")
     train_set = AVSpeechDataset(
         data["train_dir"],
         n_src=conf["audionet"]["n_src"],
         sample_rate=data["sample_rate"],
         segment=data["segment"],
         normalize_audio=data.get("normalize_audio", False),
+        audio_only=audio_only,
     )
     val_set = AVSpeechDataset(
         data["valid_dir"],
@@ -44,6 +46,7 @@ def build_datasets(conf):
         sample_rate=data["sample_rate"],
         segment=data["segment"],
         normalize_audio=data.get("normalize_audio", False),
+        audio_only=audio_only,
     )
     return train_set, val_set
 
@@ -78,7 +81,11 @@ def main(conf, args):
 
     train_set, val_set = build_datasets(conf)
     model = build_avnet(conf)
-    video_model = make_video_model(conf["videonet"])
+    # audio-only training (reference System(video_model=None),
+    # core.py:84-85,94-107): empty/absent videonet group disables the
+    # video path and the dataset skips mouth loading.
+    audio_only = not conf.get("videonet")
+    video_model = None if audio_only else make_video_model(conf["videonet"])
 
     optim_conf = conf["optim"]
     optimizer = make_optimizer(
