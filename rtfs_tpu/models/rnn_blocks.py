@@ -120,22 +120,26 @@ class DualPathRNN(nn.Module):
 
         # Fold the non-scanned axis (F) into batch: (B*new_F, new_T, C).
         x = x.transpose(0, 2, 1, 3).reshape(b * new_f, new_t, c)
-        x = convops.unfold_1d(x, ks, st)  # (B*F, T', C*ks)
 
         unfolded = c * ks
         num_dir = 2 if self.bidirectional else 1
         if self.rnn_type == "SRU":
             rnn_out = self.hid_chan * num_dir
+            # raw sequence + window: layer 0's projection runs as a conv
+            # (no unfolded tensor materialized) on the Pallas backend.
             x = SRU(
                 input_size=unfolded,
                 hidden_size=self.hid_chan,
                 num_layers=self.num_layers,
                 bidirectional=self.bidirectional,
+                window=(ks, st),
             )(x)
         elif self.rnn_type == "Attn":
             rnn_out = unfolded
+            x = convops.unfold_1d(x, ks, st)
             x = MultiHeadSelfAttention(unfolded, 8)(x, train)
         else:
+            x = convops.unfold_1d(x, ks, st)
             rnn_out = self.hid_chan * num_dir
             x = RNN(
                 cell=self.rnn_type,

@@ -156,11 +156,8 @@ def interp_nearest(x: jax.Array, size: Sequence[int]) -> jax.Array:
     """
     nd = x.ndim - 2
     assert len(size) == nd
-    for axis in range(nd):
-        in_sz = x.shape[1 + axis]
-        out_sz = int(size[axis])
-        if in_sz == out_sz:
-            continue
+
+    def axis_idx(in_sz, out_sz):
         # torch computes src = floor(float32(i) * (float32(in)/float32(out)))
         # in single precision (upsample_nearest CPU/CUDA kernels); double
         # precision floor(i * in/out) is 1 ulp off at exact multiples
@@ -169,8 +166,26 @@ def interp_nearest(x: jax.Array, size: Sequence[int]) -> jax.Array:
         idx = np.floor(
             np.arange(out_sz, dtype=np.float32) * scale
         ).astype(np.int64)
-        idx = np.minimum(idx, in_sz - 1)
-        x = jnp.take(x, jnp.asarray(idx), axis=1 + axis)
+        return np.minimum(idx, in_sz - 1)
+
+    if nd == 2 and x.shape[1] != size[0] and x.shape[2] != size[1]:
+        # Both spatial axes resize: ONE merged gather over the flattened
+        # (T*F) axis instead of two takes with a materialized intermediate.
+        b, t_in, f_in, c = x.shape
+        t_out, f_out = int(size[0]), int(size[1])
+        ti = axis_idx(t_in, t_out)
+        fj = axis_idx(f_in, f_out)
+        flat_idx = (ti[:, None] * f_in + fj[None, :]).reshape(-1)
+        out = jnp.take(x.reshape(b, t_in * f_in, c),
+                       jnp.asarray(flat_idx), axis=1)
+        return out.reshape(b, t_out, f_out, c)
+
+    for axis in range(nd):
+        in_sz = x.shape[1 + axis]
+        out_sz = int(size[axis])
+        if in_sz == out_sz:
+            continue
+        x = jnp.take(x, jnp.asarray(axis_idx(in_sz, out_sz)), axis=1 + axis)
     return x
 
 

@@ -135,18 +135,39 @@ class SRU(nn.Module):
     bidirectional: bool = False
     highway_bias: float = -1.0
     backend: str = "auto"  # "auto" | "pallas" | "scan" | "interpret"
+    # Optional (kernel, stride) window: the caller passes the RAW sequence
+    # and layer 0's input projection runs as a 1D convolution (the unfold-
+    # then-matmul identity), never materializing the unfolded tensor.
+    # Parameter shapes are identical to the unfolded formulation.
+    window: Optional[tuple] = None
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         backend = self.backend
         if backend == "auto":
             backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+        fuse_window = self.window is not None and backend in (
+            "pallas", "interpret"
+        )
+        if self.window is not None and not fuse_window:
+            from .convops import unfold_1d
+
+            x = unfold_1d(x, self.window[0], self.window[1])
         if backend in ("pallas", "interpret"):
-            from .sru_pallas import sru_layer_tpu
+            from .sru_pallas import sru_layer_tpu, sru_layer_tpu_windowed
 
             def layer_fn(h, w, wc, b):
                 return sru_layer_tpu(
                     h, w, wc, b, self.hidden_size, self.bidirectional,
+                    interpret=(backend == "interpret"),
+                )
+
+            def layer0_fn(h, w, wc, b):
+                if not fuse_window:
+                    return layer_fn(h, w, wc, b)
+                return sru_layer_tpu_windowed(
+                    h, w, wc, b, self.hidden_size, self.bidirectional,
+                    kernel=self.window[0], stride=self.window[1],
                     interpret=(backend == "interpret"),
                 )
         else:
@@ -154,6 +175,8 @@ class SRU(nn.Module):
                 return sru_layer(
                     h, w, wc, b, self.hidden_size, self.bidirectional
                 )
+
+            layer0_fn = layer_fn
 
         dirs = 2 if self.bidirectional else 1
         d_out = dirs * self.hidden_size
@@ -187,5 +210,7 @@ class SRU(nn.Module):
             bias = self.param(
                 f"bias_{layer}", b_init, (dirs, 2, self.hidden_size)
             )
-            h = layer_fn(h, weight, weight_c, bias)
+            h = (layer0_fn if layer == 0 else layer_fn)(
+                h, weight, weight_c, bias
+            )
         return h

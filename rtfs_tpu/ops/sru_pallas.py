@@ -336,3 +336,65 @@ def sru_layer_tpu(
             h = jnp.flip(h, axis=1)
         outs.append(h)
     return jnp.concatenate(outs, axis=-1) if dirs > 1 else outs[0]
+
+
+def sru_layer_tpu_windowed(
+    x: jax.Array,
+    weight: jax.Array,
+    weight_c: jax.Array,
+    bias: jax.Array,
+    hidden: int,
+    bidirectional: bool,
+    kernel: int,
+    stride: int = 1,
+    interpret: bool = False,
+) -> jax.Array:
+    """First SRU layer fused with the DualPathRNN window: conv formulation.
+
+    The reference unfolds (kernel k, stride s) and feeds C*k channels to the
+    SRU (``rnn_layers.py:97,148``); materializing the unfolded tensor costs
+    ~2x its (large) size in HBM traffic. But unfold-then-matmul IS a 1D
+    convolution: U = conv1d(x, W') with W'[j, c, :] = W[c*k + j, :]
+    (channel-major unfold ordering). XLA's conv never materializes the
+    windows.
+
+    x: (B, T, C) RAW (padded) input; weight: (C*kernel, dirs*kc*H).
+    Returns (B, T', dirs*H) with T' = (T - kernel)//stride + 1.
+    """
+    dirs = 2 if bidirectional else 1
+    d_out = dirs * hidden
+    d_in_unf = weight.shape[0]
+    c = d_in_unf // kernel
+    k_chunks = 4 if d_in_unf != d_out else 3  # always 4 in practice (2048 != 64)
+    bsz = x.shape[0]
+
+    # (C*k, O) channel-major rows -> conv kernel (k, C, O)
+    w_conv = weight.reshape(c, kernel, -1).transpose(1, 0, 2)
+    u = jax.lax.conv_general_dilated(
+        x.astype(w_conv.dtype), w_conv,
+        window_strides=(stride,), padding="VALID",
+        dimension_numbers=jax.lax.conv_dimension_numbers(
+            x.shape, w_conv.shape, ("NWC", "WIO", "NWC")
+        ),
+        preferred_element_type=jnp.float32,
+    )  # (B, T', dirs*kc*H)
+    length = u.shape[1]
+    u = u.reshape(bsz, length, dirs, k_chunks, hidden)
+
+    outs = []
+    for d in range(dirs):
+        u_d = u[:, :, d]
+        x_hw = u_d[:, :, 3] if k_chunks == 4 else None
+        assert x_hw is not None, "windowed layer always projects the highway"
+        u_gates = u_d[:, :, :3]
+        if d == 1:
+            u_gates = jnp.flip(u_gates, axis=1)
+            x_hw = jnp.flip(x_hw, axis=1)
+        u_t = u_gates.reshape(bsz, length, 3 * hidden).transpose(1, 2, 0)
+        x_t = x_hw.transpose(1, 2, 0)
+        h = sru_recurrence(u_t, x_t, weight_c[d], bias[d], interpret)
+        h = h.transpose(2, 0, 1)
+        if d == 1:
+            h = jnp.flip(h, axis=1)
+        outs.append(h)
+    return jnp.concatenate(outs, axis=-1) if dirs > 1 else outs[0]

@@ -77,3 +77,53 @@ def test_module_backend_interpret_matches_scan():
     got = m_pl.apply(variables, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_windowed_sru_matches_unfold_path():
+    """Conv-formulated layer-0 == unfold+matmul (same params, both backends)."""
+    from rtfs_tpu.ops.sru import SRU
+
+    rng = np.random.default_rng(3)
+    c, k = 6, 4
+    x = jnp.asarray(rng.standard_normal((3, 14, c)).astype(np.float32))
+    m_scan = SRU(input_size=c * k, hidden_size=8, num_layers=3,
+                 bidirectional=True, backend="scan", window=(k, 1))
+    m_pl = SRU(input_size=c * k, hidden_size=8, num_layers=3,
+               bidirectional=True, backend="interpret", window=(k, 1))
+    variables = m_scan.init(jax.random.PRNGKey(0), x)
+    ref = m_scan.apply(variables, x)
+    got = m_pl.apply(variables, x)
+    assert ref.shape == got.shape == (3, 11, 16)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-4)
+
+
+def test_windowed_sru_grads():
+    from rtfs_tpu.ops.sru import SRU
+
+    rng = np.random.default_rng(4)
+    c, k = 4, 3
+    x = jnp.asarray(rng.standard_normal((2, 10, c)).astype(np.float32))
+
+    def make_loss(backend):
+        m = SRU(input_size=c * k, hidden_size=4, num_layers=2,
+                bidirectional=True, backend=backend, window=(k, 1))
+        variables = m.init(jax.random.PRNGKey(0), x)
+
+        def loss(params):
+            return jnp.sum(jnp.sin(m.apply({"params": params}, x)))
+
+        return variables["params"], loss
+
+    p, loss_scan = make_loss("scan")
+    _, loss_pl = make_loss("interpret")
+    g_ref = jax.grad(loss_scan)(p)
+    g_got = jax.grad(loss_pl)(p)
+    keyfn = lambda kv: str(kv[0])
+    for (ka, a), (kb, b) in zip(
+        sorted(jax.tree_util.tree_leaves_with_path(g_got), key=keyfn),
+        sorted(jax.tree_util.tree_leaves_with_path(g_ref), key=keyfn),
+    ):
+        assert str(ka) == str(kb)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=3e-5, rtol=1e-3)
