@@ -78,8 +78,8 @@ def _fwd_kernel(u_ref, xhw_ref, vb_ref, h_ref, c_ref, carry):
         r = jax.nn.sigmoid(u2 + v_r * c_prev + b_r)
         c = f * c_prev + (1.0 - f) * u0
         h_t = r * c + (1.0 - r) * xhw_ref[t]
-        c_ref[t] = c
-        h_ref[t] = h_t
+        c_ref[t] = c.astype(c_ref.dtype)
+        h_ref[t] = h_t.astype(h_ref.dtype)
         return c
 
     carry[...] = jax.lax.fori_loop(0, t_chunk, step, carry[...])
@@ -128,8 +128,8 @@ def _bwd_kernel(u_ref, xhw_ref, vb_ref, c_ref, cin_ref, dh_ref,
 
         du_ref[t] = jnp.concatenate(
             [dc * (1.0 - f), da, dm], axis=0
-        )
-        dxhw_ref[t] = dh * (1.0 - r)
+        ).astype(du_ref.dtype)
+        dxhw_ref[t] = (dh * (1.0 - r)).astype(dxhw_ref.dtype)
 
         dc_prev = dc * f + dm * v_r + da * v_f
         return (
@@ -140,18 +140,19 @@ def _bwd_kernel(u_ref, xhw_ref, vb_ref, c_ref, cin_ref, dh_ref,
             dbr + dm,
         )
 
-    zeros = jnp.zeros((h, b), u_ref.dtype)
+    zeros = jnp.zeros((h, b), jnp.float32)
+    del zeros  # carries live in the f32 scratches below
     init = (dc_carry[...], dvb_acc[0], dvb_acc[1], dvb_acc[2], dvb_acc[3])
     dc0, dvf, dvr, dbf, dbr = jax.lax.fori_loop(0, t_chunk, step, init)
-    dc_carry[...] = dc0
-    dvb_acc[0] = dvf
-    dvb_acc[1] = dvr
-    dvb_acc[2] = dbf
-    dvb_acc[3] = dbr
+    dc_carry[...] = dc0.astype(dc_carry.dtype)
+    dvb_acc[0] = dvf.astype(dvb_acc.dtype)
+    dvb_acc[1] = dvr.astype(dvb_acc.dtype)
+    dvb_acc[2] = dbf.astype(dvb_acc.dtype)
+    dvb_acc[3] = dbr.astype(dvb_acc.dtype)
 
     @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
     def _():
-        dvb_ref[...] = dvb_acc[...]
+        dvb_ref[...] = dvb_acc[...].astype(dvb_ref.dtype)
 
 
 def _pad_to(x, axis, size):
@@ -310,8 +311,10 @@ def sru_layer_tpu(
     k = 4 if d_in != d_out else 3
     bsz, length = x.shape[:2]
 
-    u = jnp.einsum("bld,dk->blk", x, weight,
-                   preferred_element_type=jnp.float32)
+    # U inherits the compute dtype: f32 models keep an f32 recurrence;
+    # bf16 models halve U's HBM traffic (the recurrence is gate-saturating
+    # and short-range, tolerating bf16 well — parity tests pin f32).
+    u = jnp.einsum("bld,dk->blk", x.astype(weight.dtype), weight)
     u = u.reshape(bsz, length, dirs, k, hidden)
 
     outs = []
@@ -376,8 +379,7 @@ def sru_layer_tpu_windowed(
         dimension_numbers=jax.lax.conv_dimension_numbers(
             x.shape, w_conv.shape, ("NWC", "WIO", "NWC")
         ),
-        preferred_element_type=jnp.float32,
-    )  # (B, T', dirs*kc*H)
+    )  # (B, T', dirs*kc*H), dtype follows the params (see sru_layer_tpu)
     length = u.shape[1]
     u = u.reshape(bsz, length, dirs, k_chunks, hidden)
 
