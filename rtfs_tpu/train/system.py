@@ -68,10 +68,6 @@ class AVSystem:
         # online mixture augmentation (reference core.py:96-99,184-202):
         # audio-only training path re-mixes sources across the batch.
         self.online_mix = online_mix and video_model is None
-        if train_video_model:
-            raise NotImplementedError(
-                "joint video training lands with the AE pretrain flow"
-            )
         self._train_step = None
         self._val_step = None
 
@@ -94,6 +90,14 @@ class AVSystem:
         variables = self.model.init({"params": rng}, wav, mouth_emb)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", FrozenDict())
+        if self.train_video_model and self.video_model is not None:
+            # joint training (reference System(train_video_model=True),
+            # core.py:87-92): video params join the optimized tree as a
+            # "video" subtree; frozen stats stay in video_variables.
+            params = {"audio": params, "video": video_variables["params"]}
+            video_variables = {
+                k: v for k, v in video_variables.items() if k != "params"
+            }
         return TrainState(
             step=jnp.zeros((), jnp.int32),
             params=params,
@@ -116,7 +120,14 @@ class AVSystem:
         if targets.ndim == 2:
             targets = targets[:, None]
         mouth_emb = None
-        if self.video_model is not None:
+        if self.video_model is not None and self.train_video_model:
+            # joint training: video params come from the optimized tree
+            mouth_emb = self.video_model.apply(
+                {**video_variables, "params": params["video"]},
+                batch["mouth"],
+            )
+            params = params["audio"]
+        elif self.video_model is not None:
             # Frozen backbone: eval-mode BN, no gradient path (params are
             # not differentiated; stop_gradient guards mixed setups).
             mouth_emb = jax.lax.stop_gradient(

@@ -241,3 +241,30 @@ def test_audio_only_training():
     assert np.isfinite(float(m["train_loss"]))
     val = system.val_step(state2, batch)
     assert np.isfinite(float(val["val_loss"]))
+
+
+def test_joint_video_training():
+    """train_video_model=True: video params receive gradients and update."""
+    from flax import linen as nn
+
+    from rtfs_tpu.train import AVSystem, make_optimizer
+
+    class TinyVideoNet(nn.Module):
+        @nn.compact
+        def __call__(self, mouth):  # (B, T, 32) -> (B, T, 32)
+            return nn.Dense(32)(mouth)
+
+    model = _make_model()
+    system = AVSystem(model, video_model=TinyVideoNet(),
+                      optimizer=make_optimizer("adam", lr=1e-3),
+                      train_video_model=True, donate_state=False)
+    batch = _batch()
+    state = system.create_state(jax.random.PRNGKey(0), batch)
+    assert "video" in state.params and "audio" in state.params
+    state2, m = system.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["train_loss"]))
+    dv = jax.tree.map(lambda a, b: float(jnp.abs(a - b).max()),
+                      state.params["video"], state2.params["video"])
+    assert max(jax.tree.leaves(dv)) > 0, "video params did not update"
+    val = system.val_step(state2, batch)
+    assert np.isfinite(float(val["val_loss"]))
