@@ -67,10 +67,9 @@ def main():
     t0 = time.time()
     wav_path = os.path.join(args.out_dir, f"{key}_mix.wav")
     extract_audio(args.video, wav_path, sr)
-    from rtfs_tpu.data.dataset import AVSpeechDataset
+    from rtfs_tpu.data.native_wav import read_wav
 
-    wav = AVSpeechDataset.__new__(AVSpeechDataset)._read_wav(wav_path, None)
-    wav = wav[: sr * 2]
+    wav = read_wav(wav_path)[: sr * 2]
     print(f"audio extracted ({time.time()-t0:.1f}s)")
 
     t0 = time.time()

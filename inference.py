@@ -54,10 +54,9 @@ def main():
                  "batch_stats": state.get("batch_stats", {})}
     video_variables = state.get("video_variables", {})
 
-    from rtfs_tpu.data.dataset import AVSpeechDataset
+    from rtfs_tpu.data.native_wav import read_wav
 
-    wav = AVSpeechDataset.__new__(AVSpeechDataset)._read_wav(args.wav, None)
-    wav = wav[: sr * 2]  # 2 s parity truncation
+    wav = read_wav(args.wav)[: sr * 2]  # 2 s parity truncation
     mouth = preprocess_mouth(np.load(args.mouth)["data"], train=False)
 
     emb = video_model.apply(video_variables, jnp.asarray(mouth[None]))

@@ -56,7 +56,12 @@ class AVSpeechDataset:
         # Hard 2 s truncation (reference avspeech_dataset.py:167,215).
         self.max_len = self.sample_rate * 2
 
-        with open(os.path.join(self.json_dir, "mix.json")) as f:
+        mix_path = os.path.join(self.json_dir, "mix.json")
+        if not os.path.exists(mix_path):  # wham manifests use mix_clean
+            alt = os.path.join(self.json_dir, "mix_clean.json")
+            if os.path.exists(alt):
+                mix_path = alt
+        with open(mix_path) as f:
             mix_infos = json.load(f)
         sources_infos = []
         for s in ("s1", "s2"):
@@ -163,12 +168,12 @@ class AVSpeechDataset:
             idxs = order[start : start + batch_size]
             items = [self.__getitem__(int(i), rng) for i in idxs]
             batch = {
-                "mix": np.stack([it[0] for it in items]),
-                "src": np.stack([it[1] for it in items]),
+                "mix": _pad_stack([it[0] for it in items]),
+                "src": _pad_stack([it[1] for it in items]),
             }
             if not self.audio_only:
                 # (B, n_src, T, H, W) -> flatten speaker dim for n_src==1
-                mouths = np.stack([it[2] for it in items])
+                mouths = _pad_stack([it[2] for it in items])
                 if self.n_src == 1:
                     mouths = mouths[:, 0]
                 batch["mouth"] = mouths
@@ -176,3 +181,21 @@ class AVSpeechDataset:
             else:
                 batch["key"] = [it[2] for it in items]
             yield batch
+
+
+def _pad_stack(arrays):
+    """Stack arrays, zero-padding trailing axes to the batch max.
+
+    Test-time utterances (segment=None) keep native lengths up to the 2 s
+    cap; batches with mixed lengths are padded so evaluation can batch
+    (the reference evaluates unbatched; padding silence marginally affects
+    metrics only for sub-2 s utterances).
+    """
+    shapes = {a.shape for a in arrays}
+    if len(shapes) == 1:
+        return np.stack(arrays)
+    maxes = tuple(max(s[i] for s in shapes) for i in range(len(arrays[0].shape)))
+    out = np.zeros((len(arrays), *maxes), arrays[0].dtype)
+    for i, a in enumerate(arrays):
+        out[(i,) + tuple(slice(0, d) for d in a.shape)] = a
+    return out

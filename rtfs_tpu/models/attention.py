@@ -101,8 +101,11 @@ class MultiHeadSelfAttention(nn.Module):
         res = x
         x = nn.LayerNorm(epsilon=1e-5)(x)
         if self.positional_encoding:
-            pe = jnp.asarray(sinusoidal_pe(self.max_len, self.in_chan))
-            x = x + pe[: x.shape[1]]
+            # slice host-side so only the needed rows become a constant
+            pe = jnp.asarray(
+                sinusoidal_pe(self.max_len, self.in_chan)[: x.shape[1]]
+            )
+            x = x + pe
         residual = x
         x = TorchMHA(self.in_chan, self.n_head, self.dropout)(x, train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x)
@@ -251,10 +254,17 @@ class GlobalAttention2D(nn.Module):
                 z, train
             )
         x = z.reshape(b, f, t, c).transpose(0, 2, 1, 3)
-        if self.group_ffn:
-            x = L.FeedForwardNetwork(
+        # the reference applies the SAME group_FFN module after both stages
+        # (attention.py:252,271,278) — share one instance
+        group_ffn = (
+            L.FeedForwardNetwork(
                 c, hid, self.kernel_size, dropout=self.dropout, is2d=True
-            )(x, train)
+            )
+            if self.group_ffn
+            else None
+        )
+        if group_ffn is not None:
+            x = group_ffn(x, train)
 
         # freq-axis attention: fold T into batch
         z = x.reshape(b * t, f, c)
@@ -266,8 +276,6 @@ class GlobalAttention2D(nn.Module):
                 z, train
             )
         x = z.reshape(b, t, f, c)
-        if self.group_ffn:
-            x = L.FeedForwardNetwork(
-                c, hid, self.kernel_size, dropout=self.dropout, is2d=True
-            )(x, train)
+        if group_ffn is not None:
+            x = group_ffn(x, train)
         return x

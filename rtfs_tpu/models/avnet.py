@@ -572,6 +572,8 @@ class AVNet(nn.Module):
 
     def setup(self):
         edp = dict(self.enc_dec_params)
+        if "layers" in edp:  # reference key name for the conv encoder bank
+            edp["num_layers"] = edp.pop("layers")
         enc_type = edp.pop("encoder_type")
         dec_type = edp.pop("decoder_type")
         enc_cls = ENCODER_REGISTRY[enc_type]

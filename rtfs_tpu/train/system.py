@@ -73,8 +73,17 @@ class AVSystem:
 
     # -- state ------------------------------------------------------------
 
-    def create_state(self, rng, sample_batch) -> TrainState:
-        """Initialize parameters/optimizer state from a sample batch."""
+    def create_state(self, rng, sample_batch,
+                     video_pretrain: Optional[str] = None) -> TrainState:
+        """Initialize parameters/optimizer state from a sample batch.
+
+        ``video_pretrain``: path to a reference lip-backbone checkpoint
+        (``frcnn_128_512.backbone.pth.tar``-style); loaded via
+        ``utils.torch_import.load_frcnn_checkpoint`` like the reference
+        (``frcnn_videomodel.py:74-76``). The backbone is REQUIRED to be
+        pretrained for meaningful AV training — random init is only for
+        smoke tests.
+        """
         wav = sample_batch["mix"]
         video_variables = {}
         if self.video_model is not None:
@@ -82,6 +91,15 @@ class AVSystem:
             video_variables = self.video_model.init(
                 {"params": v_rng}, sample_batch["mouth"]
             )
+            if video_pretrain:
+                from ..utils.torch_import import load_frcnn_checkpoint
+
+                backbone = getattr(self.video_model, "backbone_type", "resnet")
+                loaded = load_frcnn_checkpoint(video_pretrain, backbone)
+                video_variables = {
+                    "params": loaded["params"],
+                    "batch_stats": loaded["batch_stats"],
+                }
             mouth_emb = self.video_model.apply(
                 video_variables, sample_batch["mouth"]
             )
@@ -120,12 +138,21 @@ class AVSystem:
         if targets.ndim == 2:
             targets = targets[:, None]
         mouth_emb = None
+        new_video_stats = None
         if self.video_model is not None and self.train_video_model:
-            # joint training: video params come from the optimized tree
-            mouth_emb = self.video_model.apply(
-                {**video_variables, "params": params["video"]},
-                batch["mouth"],
-            )
+            # joint training: video params come from the optimized tree;
+            # in train mode the backbone's BatchNorms use (and update)
+            # batch statistics like the reference's Lightning train mode.
+            vvars = {**video_variables, "params": params["video"]}
+            if train:
+                out = self.video_model.apply(
+                    vvars, batch["mouth"], train=True,
+                    mutable=["batch_stats"],
+                )
+                mouth_emb, mutated_v = out
+                new_video_stats = mutated_v.get("batch_stats")
+            else:
+                mouth_emb = self.video_model.apply(vvars, batch["mouth"])
             params = params["audio"]
         elif self.video_model is not None:
             # Frozen backbone: eval-mode BN, no gradient path (params are
@@ -140,38 +167,44 @@ class AVSystem:
                 rngs={"dropout": rng}, mutable=["batch_stats"],
             )
             loss = pit_loss(pairwise_neg_snr, ests, targets)
-            return loss, mutated["batch_stats"]
+            return loss, (mutated["batch_stats"], new_video_stats)
         ests = self.model.apply(variables, wav, mouth_emb, train=False)
         loss = pit_loss(pairwise_neg_sisdr, ests, targets)
-        return loss, batch_stats
+        return loss, (batch_stats, None)
 
     # -- steps ------------------------------------------------------------
 
     def train_step_fn(self, state: TrainState, batch, rng):
         def loss_fn(params):
-            loss, new_stats = self._forward_loss(
+            loss, aux = self._forward_loss(
                 params, state.batch_stats, state.video_variables, batch, rng,
                 train=True,
             )
-            return loss, new_stats
+            return loss, aux
 
-        (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params
-        )
+        (loss, (new_stats, new_video_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
         updates, new_opt_state = self.optimizer.update(
             grads, state.opt_state, state.params
         )
         new_params = optax.apply_updates(state.params, updates)
+        video_variables = state.video_variables
+        if new_video_stats is not None:
+            video_variables = {
+                **video_variables, "batch_stats": new_video_stats,
+            }
         new_state = state.replace(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt_state,
+            video_variables=video_variables,
         )
         return new_state, {"train_loss": loss}
 
     def val_step_fn(self, state: TrainState, batch):
-        loss, _ = self._forward_loss(
+        loss, _aux = self._forward_loss(
             state.params, state.batch_stats, state.video_variables, batch,
             jax.random.PRNGKey(0), train=False,
         )

@@ -243,9 +243,40 @@ def _ln4d(tb, f, t, per_channel):
 def _dual_path_rnn(tb, f, t, num_layers):
     _ln4d(tb, f + ["LayerNormalization4D_0"], f"{t}.norm", per_channel=True)
     for l in range(num_layers):
-        tb.put_p(f + ["SRU_0", f"weight_{l}"], tb.t(f"{t}.rnn.weights.{l}"))
-        tb.put_p(f + ["SRU_0", f"weight_c_{l}"], tb.t(f"{t}.rnn.weight_cs.{l}"))
-        tb.put_p(f + ["SRU_0", f"bias_{l}"], tb.t(f"{t}.rnn.biases.{l}"))
+        if tb.has(f"{t}.rnn.weights.{l}"):
+            # rtfs_tpu-native export layout (also used by the test stub)
+            tb.put_p(f + ["SRU_0", f"weight_{l}"], tb.t(f"{t}.rnn.weights.{l}"))
+            tb.put_p(f + ["SRU_0", f"weight_c_{l}"],
+                     tb.t(f"{t}.rnn.weight_cs.{l}"))
+            tb.put_p(f + ["SRU_0", f"bias_{l}"], tb.t(f"{t}.rnn.biases.{l}"))
+        elif tb.has(f"{t}.rnn.rnn_lst.{l}.weight"):
+            # REAL `sru` package (v2.6) SRUCell layout. Best-effort
+            # translation from the published parameter shapes:
+            #   weight   (d_in, dirs*hidden*k)  -- k innermost per unit
+            #   weight_c (2*dirs*hidden,)       -- [v_f; v_r]
+            #   bias     (2*dirs*hidden,)       -- [b_f; b_r(highway)]
+            # rtfs_tpu layout: weight (d_in, dirs*k*hidden),
+            # weight_c/bias (dirs, 2, hidden). NOTE: validated against the
+            # package's documented shapes, not a live sru install (absent
+            # from this image) — re-verify against a real checkpoint.
+            w = np.asarray(tb.t(f"{t}.rnn.rnn_lst.{l}.weight"))
+            wc = np.asarray(tb.t(f"{t}.rnn.rnn_lst.{l}.weight_c"))
+            bias = np.asarray(tb.t(f"{t}.rnn.rnn_lst.{l}.bias"))
+            d_in = w.shape[0]
+            out2 = wc.shape[0] // 2  # dirs*hidden
+            k = w.shape[1] // out2
+            # infer dirs from bidirectionality: reference uses bidirectional
+            dirs = 2
+            hidden = out2 // dirs
+            w = w.reshape(d_in, dirs, hidden, k).transpose(0, 1, 3, 2)
+            tb.put_p(f + ["SRU_0", f"weight_{l}"],
+                     w.reshape(d_in, dirs * k * hidden))
+            wc = wc.reshape(2, dirs, hidden).transpose(1, 0, 2)
+            tb.put_p(f + ["SRU_0", f"weight_c_{l}"], wc)
+            bias = bias.reshape(2, dirs, hidden).transpose(1, 0, 2)
+            tb.put_p(f + ["SRU_0", f"bias_{l}"], bias)
+        else:
+            raise KeyError(f"no SRU params found under {t}.rnn (layer {l})")
     # ConvTranspose1d (Cin=rnn_out, Cout, k) -> (k, Cout, Cin)
     w = np.asarray(tb.t(f"{t}.linear.weight"))
     tb.put_p(f + ["ConvTranspose_0", "kernel"], w.transpose(2, 1, 0))

@@ -102,7 +102,7 @@ if __name__ == "__main__":
     parser.add_argument("--conf-dir", required=True)
     parser.add_argument("--test-dir", required=True)
     parser.add_argument("--model", default=None)
-    parser.add_argument("--batch-size", type=int, default=8)
+    parser.add_argument("--batch-size", type=int, default=1)
     parser.add_argument("--save-examples", type=int, default=0,
                         help="export this many example separations as wavs")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")

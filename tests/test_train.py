@@ -251,7 +251,7 @@ def test_joint_video_training():
 
     class TinyVideoNet(nn.Module):
         @nn.compact
-        def __call__(self, mouth):  # (B, T, 32) -> (B, T, 32)
+        def __call__(self, mouth, train=False):  # (B, T, 32) -> (B, T, 32)
             return nn.Dense(32)(mouth)
 
     model = _make_model()

@@ -98,16 +98,28 @@ def main(conf, args):
     n_dev = jax.device_count()
     mesh = make_mesh() if n_dev > 1 else None
     tconf = conf["training"]
-    system = AVSystem(model, video_model=video_model, optimizer=optimizer,
-                      mesh=mesh, online_mix=tconf.get("online_mix", False))
+    system = AVSystem(
+        model, video_model=video_model, optimizer=optimizer, mesh=mesh,
+        online_mix=tconf.get("online_mix", False),
+        train_video_model=tconf.get("train_video_model", False),
+    )
 
+    # Per-host batch: each host feeds its local devices; the global batch
+    # is host_batch * num_hosts (reference: DDP per-rank batches).
     batch_size = tconf["batch_size"]
-    global_batch = batch_size * max(n_dev, 1)
+    num_hosts = jax.process_count()
+    host_batch = batch_size * jax.local_device_count()
+    global_batch = host_batch * num_hosts
 
-    sample = next(train_set.batches(global_batch, shuffle=False))
+    sample = next(train_set.batches(host_batch, shuffle=False))
     sample.pop("key", None)
     rng = jax.random.PRNGKey(args.seed)
-    state = system.create_state(rng, sample)
+    pretrain = (conf.get("videonet") or {}).get("pretrain")
+    if pretrain and not os.path.exists(pretrain):
+        print(f"WARNING: videonet.pretrain={pretrain} not found; the frozen "
+              "lip backbone will be RANDOMLY initialized (smoke mode)")
+        pretrain = None
+    state = system.create_state(rng, sample, video_pretrain=pretrain)
 
     ckpt = CheckpointManager(exp_dir, top_k=5)
     start_epoch = 0
@@ -139,18 +151,34 @@ def main(conf, args):
     best_val = float("inf")
     bad_epochs = 0
     patience = 15 if tconf.get("early_stop") else 10**9
-    host_id, num_hosts = jax.process_index(), jax.process_count()
+    host_id = jax.process_index()
+
+    def place(batch):
+        """Host-local batch -> global sharded arrays on the mesh."""
+        if mesh is None:
+            return batch
+        if num_hosts == 1:
+            return shard_batch(mesh, batch)
+        # multi-host: each host contributes its local shard of the global
+        # batch (jax.make_array_from_process_local_data is the sanctioned
+        # cross-process assembly path)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P("data"))
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sharding, x),
+            batch,
+        )
 
     for epoch in range(start_epoch, tconf["epochs"]):
         t0 = time.time()
         train_losses = []
         for batch in train_set.batches(
-            global_batch, seed=args.seed, epoch=epoch,
+            host_batch, seed=args.seed, epoch=epoch,
             host_id=host_id, num_hosts=num_hosts,
         ):
             batch.pop("key", None)
-            if mesh is not None:
-                batch = shard_batch(mesh, batch)
+            batch = place(batch)
             rng, step_rng = jax.random.split(rng)
             state, m = system.train_step(state, batch, step_rng)
             train_losses.append(m["train_loss"])
@@ -158,11 +186,10 @@ def main(conf, args):
 
         val_losses = []
         for batch in val_set.batches(
-            global_batch, shuffle=False, host_id=host_id, num_hosts=num_hosts
+            host_batch, shuffle=False, host_id=host_id, num_hosts=num_hosts
         ):
             batch.pop("key", None)
-            if mesh is not None:
-                batch = shard_batch(mesh, batch)
+            batch = place(batch)
             val_losses.append(system.val_step(state, batch)["val_loss"])
         val_loss = float(jnp.mean(jnp.stack(val_losses)))
 
