@@ -148,6 +148,10 @@ def main(conf, args):
     )
 
     metrics_log = open(os.path.join(exp_dir, "metrics.jsonl"), "a")
+    from rtfs_tpu.utils.tb_writer import SummaryWriter
+
+    tb = SummaryWriter(os.path.join(exp_dir, "tb")) if \
+        jax.process_index() == 0 else None
     best_val = float("inf")
     bad_epochs = 0
     patience = 15 if tconf.get("early_stop") else 10**9
@@ -215,6 +219,13 @@ def main(conf, args):
         print(json.dumps(row))
         metrics_log.write(json.dumps(row) + "\n")
         metrics_log.flush()
+        if tb is not None:
+            # scalar parity with the reference logger (core.py:121-141)
+            tb.add_scalar("train_loss", train_loss, epoch)
+            tb.add_scalar("val_loss", val_loss, epoch)
+            tb.add_scalar("train_sisnr", -train_loss, epoch)
+            tb.add_scalar("val_sisnr", -val_loss, epoch)
+            tb.add_scalar("learning_rate", lr, epoch)
 
         if jax.process_index() == 0:
             ckpt.save(epoch, jax.tree.map(np.asarray, state), val_loss)
