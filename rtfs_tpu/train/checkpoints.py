@@ -68,6 +68,35 @@ class CheckpointManager:
         return self._mgr.latest_step()
 
 
+def resolve_checkpoint_spec(spec: str, default_ckpt: "CheckpointManager"):
+    """Resolve a ``--checkpoint`` value to ``(manager, step)``.
+
+    Accepted forms (reference resumes from an explicit ckpt path,
+    ``/root/reference/train.py:148``; we additionally accept bare epochs):
+
+    - ``"7"``               -> epoch 7 of the current run's manager
+    - ``"/path/to/exp"``    -> latest epoch of another run (its
+      ``checkpoints/`` subdir is used if present)
+    - ``"/path/to/exp@7"``  -> epoch 7 of another run
+    """
+    step: Optional[int] = None
+    if "@" in spec:
+        spec, step_s = spec.rsplit("@", 1)
+        step = int(step_s)
+    if spec.isdigit():
+        return default_ckpt, int(spec)
+    path = os.path.abspath(spec)
+    # accept either the exp dir or its checkpoints/ subdir directly
+    if os.path.basename(path) == "checkpoints":
+        path = os.path.dirname(path)
+    if not os.path.isdir(os.path.join(path, "checkpoints")):
+        raise FileNotFoundError(
+            f"--checkpoint={spec!r}: no checkpoints/ dir under {path}"
+        )
+    mgr = CheckpointManager(path)
+    return mgr, (step if step is not None else mgr.latest_step())
+
+
 def export_model(path: str, model_conf: Dict[str, Any], params, batch_stats,
                  video_variables=None, infos: Optional[Dict] = None):
     """Self-describing export bundle (the ``best_model.pth`` analogue).

@@ -29,6 +29,30 @@ from ..losses import pairwise_neg_sisdr, pairwise_neg_snr, pit_loss
 from .optim import make_optimizer
 
 
+def _fold_speakers(mouth):
+    """(B, S, T, H, W) per-source mouths -> ((B*S, T, H, W), S).
+
+    4-D input passes through with S=1. See ``AVSystem._forward_loss`` for
+    the per-speaker extraction semantics.
+    """
+    if mouth.ndim == 5:
+        b, s = mouth.shape[:2]
+        return mouth.reshape((b * s,) + mouth.shape[2:]), s
+    return mouth, 1
+
+
+def _unfold_speakers(ests, n_spk: int):
+    """(B*S, 1, T) per-speaker estimates -> (B, S, T)."""
+    if n_spk == 1:
+        return ests
+    if ests.shape[1] != 1:
+        raise ValueError(
+            "per-source mouths (n_src>=2 dataset) require a 1-mask model "
+            f"(audionet n_src=1); model emitted {ests.shape[1]} estimates"
+        )
+    return ests.reshape((-1, n_spk) + ests.shape[2:])
+
+
 class TrainState(struct.PyTreeNode):
     """All mutable training state as one pytree (orbax-checkpointable)."""
 
@@ -88,8 +112,9 @@ class AVSystem:
         video_variables = {}
         if self.video_model is not None:
             v_rng, rng = jax.random.split(rng)
+            mouth = _fold_speakers(sample_batch["mouth"])[0]
             video_variables = self.video_model.init(
-                {"params": v_rng}, sample_batch["mouth"]
+                {"params": v_rng}, mouth
             )
             if video_pretrain:
                 from ..utils.torch_import import load_frcnn_checkpoint
@@ -100,9 +125,10 @@ class AVSystem:
                     "params": loaded["params"],
                     "batch_stats": loaded["batch_stats"],
                 }
-            mouth_emb = self.video_model.apply(
-                video_variables, sample_batch["mouth"]
-            )
+            mouth_emb = self.video_model.apply(video_variables, mouth)
+            n_spk = _fold_speakers(sample_batch["mouth"])[1]
+            if n_spk > 1:
+                wav = jnp.repeat(wav, n_spk, axis=0)
         else:
             mouth_emb = None
         variables = self.model.init({"params": rng}, wav, mouth_emb)
@@ -139,6 +165,17 @@ class AVSystem:
             targets = targets[:, None]
         mouth_emb = None
         new_video_stats = None
+        n_spk = 1
+        if self.video_model is not None:
+            # Per-source mouths (B, S, T, H, W) from the n_src>=2 dataset
+            # path (dataset.py:174-179) run as per-speaker target
+            # extraction: speakers fold into the batch, the mixture is
+            # repeated per speaker, and estimates reshape back to
+            # (B, S, T) for PIT. (The reference's n_src=2 AV path would
+            # crash in its Conv3d frontend — avspeech_dataset.py:217 vs
+            # frcnn_videomodel.py:62-64 — so this is a deliberate
+            # completion, not a translation.)
+            mouth, n_spk = _fold_speakers(batch["mouth"])
         if self.video_model is not None and self.train_video_model:
             # joint training: video params come from the optimized tree;
             # in train mode the backbone's BatchNorms use (and update)
@@ -146,29 +183,32 @@ class AVSystem:
             vvars = {**video_variables, "params": params["video"]}
             if train:
                 out = self.video_model.apply(
-                    vvars, batch["mouth"], train=True,
+                    vvars, mouth, train=True,
                     mutable=["batch_stats"],
                 )
                 mouth_emb, mutated_v = out
                 new_video_stats = mutated_v.get("batch_stats")
             else:
-                mouth_emb = self.video_model.apply(vvars, batch["mouth"])
+                mouth_emb = self.video_model.apply(vvars, mouth)
             params = params["audio"]
         elif self.video_model is not None:
             # Frozen backbone: eval-mode BN, no gradient path (params are
             # not differentiated; stop_gradient guards mixed setups).
             mouth_emb = jax.lax.stop_gradient(
-                self.video_model.apply(video_variables, batch["mouth"])
+                self.video_model.apply(video_variables, mouth)
             )
+        model_in = jnp.repeat(wav, n_spk, axis=0) if n_spk > 1 else wav
         variables = {"params": params, "batch_stats": batch_stats}
         if train:
             ests, mutated = self.model.apply(
-                variables, wav, mouth_emb, train=True,
+                variables, model_in, mouth_emb, train=True,
                 rngs={"dropout": rng}, mutable=["batch_stats"],
             )
+            ests = _unfold_speakers(ests, n_spk)
             loss = pit_loss(pairwise_neg_snr, ests, targets)
             return loss, (mutated["batch_stats"], new_video_stats)
-        ests = self.model.apply(variables, wav, mouth_emb, train=False)
+        ests = self.model.apply(variables, model_in, mouth_emb, train=False)
+        ests = _unfold_speakers(ests, n_spk)
         loss = pit_loss(pairwise_neg_sisdr, ests, targets)
         return loss, (batch_stats, None)
 

@@ -182,6 +182,56 @@ def test_data_parallel_sharded_step():
     )
 
 
+class _MouthEmbed5D:
+    """Stand-in backbone taking folded (N, T, H, W) mouths -> (N, T, 32)."""
+
+    def init(self, rngs, mouth):
+        assert mouth.ndim == 4, "system must fold the speaker dim"
+        return {"params": {}}
+
+    def apply(self, variables, mouth):
+        feat = mouth.mean((-1, -2))
+        return jnp.repeat(feat[..., None], 32, axis=-1)
+
+
+def test_n_src2_av_per_speaker_extraction():
+    """Per-source mouths (B, 2, T, H, W) run as per-speaker extraction."""
+    from rtfs_tpu.train import AVSystem, make_optimizer
+
+    model = _make_model()  # 1-mask model
+    system = AVSystem(model, video_model=_MouthEmbed5D(),
+                      optimizer=make_optimizer("adam", lr=1e-3),
+                      donate_state=False)
+    rng = np.random.default_rng(0)
+    b = 2
+    src = rng.standard_normal((b, 2, WAV_LEN)).astype(np.float32) * 0.1
+    batch = {
+        "mix": src.sum(1),
+        "src": src,
+        "mouth": rng.standard_normal((b, 2, 4, 8, 8)).astype(np.float32),
+    }
+    state = system.create_state(jax.random.PRNGKey(0), batch)
+    state2, m = system.train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["train_loss"]))
+    val = system.val_step(state2, batch)
+    assert np.isfinite(float(val["val_loss"]))
+
+
+def test_unfold_speakers_rejects_multimask():
+    """n_src>=2 mouths with a multi-mask model must fail loudly."""
+    from rtfs_tpu.train.system import _fold_speakers, _unfold_speakers
+
+    m, s = _fold_speakers(np.zeros((2, 3, 4, 8, 8), np.float32))
+    assert m.shape == (6, 4, 8, 8) and s == 3
+    m4, s4 = _fold_speakers(np.zeros((2, 4, 8, 8), np.float32))
+    assert m4.shape == (2, 4, 8, 8) and s4 == 1
+
+    ests = jnp.zeros((4, 1, 16))
+    assert _unfold_speakers(ests, 2).shape == (2, 2, 16)
+    with pytest.raises(ValueError, match="1-mask"):
+        _unfold_speakers(jnp.zeros((4, 2, 16)), 2)
+
+
 def test_online_mixing():
     """Online mixing preserves per-slot energies and mix = sum(src)."""
     from rtfs_tpu.data.mixing import online_mixing

@@ -123,7 +123,21 @@ def main(conf, args):
 
     ckpt = CheckpointManager(exp_dir, top_k=5)
     start_epoch = 0
-    if args.checkpoint or ckpt.latest_step() is not None:
+    if args.checkpoint:
+        # explicit resume: epoch number, other-run path, or path@epoch
+        # (reference resumes from an explicit ckpt path, train.py:148)
+        from rtfs_tpu.train.checkpoints import resolve_checkpoint_spec
+
+        src, step = resolve_checkpoint_spec(args.checkpoint, ckpt)
+        restored = src.restore(state, step)
+        if restored is None:
+            raise FileNotFoundError(
+                f"--checkpoint={args.checkpoint!r}: no checkpoint found"
+            )
+        state = restored
+        start_epoch = int(step) + 1
+        print(f"resumed from epoch {step} ({args.checkpoint})")
+    elif ckpt.latest_step() is not None:
         restored = ckpt.restore(state)
         if restored is not None:
             state = restored
