@@ -145,6 +145,49 @@ class AVSpeechDataset:
             return mixture, source, key
         return mixture, source, mouths, key
 
+    def batch_index_plan(
+        self,
+        batch_size: int,
+        *,
+        shuffle: bool = True,
+        seed: int = 0,
+        epoch: int = 0,
+        host_id: int = 0,
+        num_hosts: int = 1,
+        drop_last: bool = True,
+    ) -> List[np.ndarray]:
+        """Deterministic per-epoch batch index plan, sharded across hosts."""
+        n = len(self)
+        order = np.arange(n)
+        rng = np.random.default_rng(seed + epoch * 7919)
+        if shuffle:
+            rng.shuffle(order)
+        order = order[host_id::num_hosts]
+        stop = len(order) - (len(order) % batch_size if drop_last else 0)
+        return [order[s : s + batch_size] for s in range(0, stop, batch_size)]
+
+    def sample_rng(self, idx: int, seed: int, epoch: int) -> np.random.Generator:
+        """Per-sample augmentation rng: deterministic regardless of decode
+        order/threading (the reference's workers were unseeded, SURVEY §5.2)."""
+        return np.random.default_rng((seed, epoch, int(idx)))
+
+    def collate(self, items: List[tuple]) -> dict:
+        """Assemble decoded items into one fixed-shape numpy batch."""
+        batch = {
+            "mix": _pad_stack([it[0] for it in items]),
+            "src": _pad_stack([it[1] for it in items]),
+        }
+        if not self.audio_only:
+            # (B, n_src, T, H, W) -> flatten speaker dim for n_src==1
+            mouths = _pad_stack([it[2] for it in items])
+            if self.n_src == 1:
+                mouths = mouths[:, 0]
+            batch["mouth"] = mouths
+            batch["key"] = [it[3] for it in items]
+        else:
+            batch["key"] = [it[2] for it in items]
+        return batch
+
     def batches(
         self,
         batch_size: int,
@@ -156,31 +199,18 @@ class AVSpeechDataset:
         num_hosts: int = 1,
         drop_last: bool = True,
     ) -> Iterator[dict]:
-        """Yield fixed-shape numpy batches, sharded across hosts."""
-        n = len(self)
-        order = np.arange(n)
-        rng = np.random.default_rng(seed + epoch * 7919)
-        if shuffle:
-            rng.shuffle(order)
-        order = order[host_id::num_hosts]
-        stop = len(order) - (len(order) % batch_size if drop_last else 0)
-        for start in range(0, stop, batch_size):
-            idxs = order[start : start + batch_size]
-            items = [self.__getitem__(int(i), rng) for i in idxs]
-            batch = {
-                "mix": _pad_stack([it[0] for it in items]),
-                "src": _pad_stack([it[1] for it in items]),
-            }
-            if not self.audio_only:
-                # (B, n_src, T, H, W) -> flatten speaker dim for n_src==1
-                mouths = _pad_stack([it[2] for it in items])
-                if self.n_src == 1:
-                    mouths = mouths[:, 0]
-                batch["mouth"] = mouths
-                batch["key"] = [it[3] for it in items]
-            else:
-                batch["key"] = [it[2] for it in items]
-            yield batch
+        """Yield fixed-shape numpy batches, sharded across hosts (sync path;
+        training uses the threaded ``PrefetchLoader`` over the same plan)."""
+        plan = self.batch_index_plan(
+            batch_size, shuffle=shuffle, seed=seed, epoch=epoch,
+            host_id=host_id, num_hosts=num_hosts, drop_last=drop_last,
+        )
+        for idxs in plan:
+            items = [
+                self.__getitem__(int(i), self.sample_rng(i, seed, epoch))
+                for i in idxs
+            ]
+            yield self.collate(items)
 
 
 def _pad_stack(arrays):

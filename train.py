@@ -172,9 +172,11 @@ def main(conf, args):
     host_id = jax.process_index()
 
     def place(batch):
-        """Host-local batch -> global sharded arrays on the mesh."""
+        """Host-local batch -> device (sharded on the mesh, else default)."""
         if mesh is None:
-            return batch
+            # async host->HBM transfer; overlaps the running step via the
+            # loader's one-batch staging
+            return jax.device_put(batch)
         if num_hosts == 1:
             return shard_batch(mesh, batch)
         # multi-host: each host contributes its local shard of the global
@@ -188,26 +190,36 @@ def main(conf, args):
             batch,
         )
 
+    # Threaded decode-ahead + device prefetch (the reference used 8
+    # DataLoader workers, train.py:44-52).
+    from rtfs_tpu.data.loader import PrefetchLoader
+
+    num_workers = tconf.get("num_workers", 8)
+    train_loader = PrefetchLoader(
+        train_set, host_batch, num_workers=num_workers, place=place
+    )
+    val_loader = PrefetchLoader(
+        val_set, host_batch, num_workers=num_workers, place=place
+    )
+
     for epoch in range(start_epoch, tconf["epochs"]):
         t0 = time.time()
         train_losses = []
-        for batch in train_set.batches(
-            host_batch, seed=args.seed, epoch=epoch,
+        for batch in train_loader.epoch(
+            seed=args.seed, epoch=epoch,
             host_id=host_id, num_hosts=num_hosts,
         ):
             batch.pop("key", None)
-            batch = place(batch)
             rng, step_rng = jax.random.split(rng)
             state, m = system.train_step(state, batch, step_rng)
             train_losses.append(m["train_loss"])
         train_loss = float(jnp.mean(jnp.stack(train_losses)))
 
         val_losses = []
-        for batch in val_set.batches(
-            host_batch, shuffle=False, host_id=host_id, num_hosts=num_hosts
+        for batch in val_loader.epoch(
+            shuffle=False, host_id=host_id, num_hosts=num_hosts
         ):
             batch.pop("key", None)
-            batch = place(batch)
             val_losses.append(system.val_step(state, batch)["val_loss"])
         val_loss = float(jnp.mean(jnp.stack(val_losses)))
 
