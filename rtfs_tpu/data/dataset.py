@@ -177,6 +177,13 @@ class AVSpeechDataset:
             "mix": _pad_stack([it[0] for it in items]),
             "src": _pad_stack([it[1] for it in items]),
         }
+        if self.test:
+            # true per-utterance lengths so batched eval can trim the
+            # zero padding before computing metrics (sub-2 s utterances
+            # would otherwise bias SI-SNR)
+            batch["length"] = np.array(
+                [it[0].shape[-1] for it in items], np.int32
+            )
         if not self.audio_only:
             # (B, n_src, T, H, W) -> flatten speaker dim for n_src==1
             mouths = _pad_stack([it[2] for it in items])

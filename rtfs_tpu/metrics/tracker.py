@@ -26,7 +26,11 @@ def _pesq_backend():
 
         return lambda est, clean, sr: float(_pesq(est, clean, sr))
     except ImportError:
-        return lambda est, clean, sr: float("nan")
+        from .pesq_np import pesq as _pesq
+
+        # pesq_np signature is (ref, deg); pypesq's is (deg, ref)-ish via
+        # allwrapper call order (est, clean) — map explicitly
+        return lambda est, clean, sr: float(_pesq(clean, est, sr))
 
 
 def _stoi_backend():
@@ -75,6 +79,10 @@ class ALLMetricsTracker:
         pesq_v = self._pesq(estimate[0], clean[0], self.sample_rate)
         stoi_v = self._stoi(clean[0], estimate[0], self.sample_rate)
 
+        # NOTE: CSV rows carry the raw PIT *loss* sign for sdr/sdr_i while
+        # the accumulators negate it — this mirrors the reference tracker
+        # exactly (allwrapper.py:67-80 writes sdr.item() but accumulates
+        # -sdr.item()); kept bug-for-bug so CSVs are comparable.
         row = {
             "snt_id": key,
             "sdr": sdr,

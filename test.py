@@ -69,11 +69,15 @@ def main(args):
     for batch in test_set.batches(args.batch_size, shuffle=False,
                                   drop_last=False):
         keys = batch.pop("key")
+        lengths = batch.pop("length")
         ests = np.asarray(forward(
             jnp.asarray(batch["mix"]), jnp.asarray(batch["mouth"])
         ))
         for b in range(ests.shape[0]):
-            tracker(batch["mix"][b], batch["src"][b], ests[b], keys[b])
+            # trim batch zero-padding: metrics see only real samples
+            L = int(lengths[b])
+            tracker(batch["mix"][b][:L], batch["src"][b][..., :L],
+                    ests[b][..., :L], keys[b])
             if n < args.save_examples:
                 sr = conf["data"]["sample_rate"]
                 stem = os.path.join(examples_dir, f"ex{n}_{keys[b]}")

@@ -82,3 +82,19 @@ def test_normalize_audio(manifest_dir):
                          normalize_audio=True)
     mix, src, _, _ = ds[0]
     assert abs(float(np.std(mix)) - 1.0) < 1e-3
+
+
+def test_testmode_batches_carry_true_lengths(manifest_dir):
+    """segment=None batches expose per-utterance lengths so batched eval
+    can trim zero padding before the metric tracker."""
+    ds = AVSpeechDataset(manifest_dir, n_src=1, segment=None)
+    # the 8000-sample utterance is kept in test mode -> 6 samples
+    assert len(ds) == 6
+    batches = list(ds.batches(3, shuffle=False, drop_last=False))
+    lens = np.concatenate([b["length"] for b in batches])
+    assert sorted(lens.tolist()) == [8000, 8000, 32000, 32000, 32000, 32000]
+    for b in batches:
+        for i, L in enumerate(b["length"]):
+            # padding beyond the true length must be exactly zero
+            assert np.all(b["mix"][i, L:] == 0)
+            assert np.any(b["mix"][i, :L] != 0)

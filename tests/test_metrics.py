@@ -1,0 +1,165 @@
+"""Validation of the bundled numpy eval metrics (stoi_np, pesq_np).
+
+The reference reports STOI via pystoi and PESQ via pypesq
+(/root/reference/src/metrics/allwrapper.py:12-13,55); neither package is
+installed here, so rtfs_tpu bundles independent implementations. These
+tests pin their behavioral contract: known values where the algorithm
+defines them exactly, monotonicity in SNR, invariance properties, and
+agreement with published operating points — so a silent regression in
+either backend fails loudly instead of shipping bad eval tables.
+"""
+
+import numpy as np
+import pytest
+
+from rtfs_tpu.metrics.pesq_np import pesq
+from rtfs_tpu.metrics.stoi_np import stoi
+
+SR = 16000
+RNG = np.random.default_rng(0)
+
+
+def _speechlike(seconds=3.0, seed=0):
+    """Synthetic speech-like signal: pitch-harmonic carrier with syllabic
+    (4 Hz) energy modulation and formant-band noise. STOI/PESQ are built
+    around modulation + band structure, so white noise alone would sit in
+    a degenerate corner of both metrics."""
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * SR)) / SR
+    f0 = 120.0 + 20.0 * np.sin(2 * np.pi * 0.7 * t)
+    phase = 2 * np.pi * np.cumsum(f0) / SR
+    carrier = sum(np.sin(k * phase) / k for k in range(1, 8))
+    nz = rng.standard_normal(len(t))
+    # crude formant emphasis via leaky integrators
+    for a in (0.6, 0.3):
+        nz = nz + a * np.concatenate([[0.0], nz[:-1]])
+    syllabic = 0.5 * (1.0 + np.sin(2 * np.pi * 4.0 * t - np.pi / 2)) ** 2
+    x = (0.8 * carrier + 0.4 * nz) * syllabic
+    return (x / np.std(x)).astype(np.float64)
+
+
+def _at_snr(clean, snr_db, seed=1):
+    noise = np.random.default_rng(seed).standard_normal(len(clean))
+    noise *= np.std(clean) / np.std(noise) * 10.0 ** (-snr_db / 20.0)
+    return clean + noise
+
+
+# ---------------------------------------------------------------- STOI
+
+
+def test_stoi_identity_is_one():
+    x = _speechlike()
+    assert stoi(x, x, SR) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_stoi_monotonic_in_snr():
+    clean = _speechlike()
+    scores = [stoi(clean, _at_snr(clean, s), SR) for s in (-10, -5, 0, 5, 10, 20)]
+    assert all(a < b for a, b in zip(scores, scores[1:])), scores
+
+
+def test_stoi_operating_points():
+    """Published STOI behavior (Taal et al. 2011, Fig. 6 / pystoi README
+    examples): clean speech ~1.0; speech-shaped noise at 0 dB SNR lands
+    mid-range (~0.6-0.9); at -10 dB intelligibility collapses (<0.65)."""
+    clean = _speechlike(seconds=4.0)
+    mid = stoi(clean, _at_snr(clean, 0.0), SR)
+    low = stoi(clean, _at_snr(clean, -10.0), SR)
+    assert 0.55 < mid < 0.95, mid
+    assert low < 0.65, low
+    assert low < mid
+
+
+def test_stoi_scale_invariance():
+    clean = _speechlike()
+    deg = _at_snr(clean, 5.0)
+    a = stoi(clean, deg, SR)
+    b = stoi(clean, 7.3 * deg, SR)
+    assert a == pytest.approx(b, abs=1e-3)
+
+
+def test_stoi_uncorrelated_noise_scores_low():
+    clean = _speechlike(seed=0)
+    other = np.random.default_rng(99).standard_normal(len(clean))
+    # uncorrelated signal: clipped per-band correlations keep this well
+    # below any intelligible operating point
+    assert stoi(clean, other, SR) < 0.5
+
+
+# ---------------------------------------------------------------- PESQ
+
+
+def test_pesq_identity_is_max():
+    x = _speechlike()
+    assert pesq(x, x, SR) == pytest.approx(4.5, abs=1e-3)
+
+
+def test_pesq_monotonic_in_snr():
+    clean = _speechlike()
+    scores = [pesq(clean, _at_snr(clean, s), SR) for s in (-5, 0, 5, 10, 20, 40)]
+    assert all(a < b for a, b in zip(scores, scores[1:])), scores
+
+
+def test_pesq_range_and_spread():
+    """Heavily degraded speech must score near the bottom of the scale and
+    the clean-vs-noisy spread must be large enough to rank systems."""
+    clean = _speechlike()
+    bad = pesq(clean, _at_snr(clean, -5.0), SR)
+    good = pesq(clean, _at_snr(clean, 30.0), SR)
+    assert -0.5 <= bad <= 4.5 and -0.5 <= good <= 4.5
+    assert good - bad > 1.0, (bad, good)
+    assert bad < 2.5 and good > 3.0, (bad, good)
+
+
+def test_pesq_level_invariance():
+    clean = _speechlike()
+    deg = _at_snr(clean, 10.0)
+    a = pesq(clean, deg, SR)
+    b = pesq(0.2 * clean, 3.0 * deg, SR)
+    assert a == pytest.approx(b, abs=0.1)
+
+
+def test_pesq_delay_invariance():
+    """P.862 time-aligns before scoring; a 25 ms shift must not tank MOS."""
+    clean = _speechlike()
+    deg = _at_snr(clean, 15.0)
+    shifted = np.concatenate([np.zeros(int(0.025 * SR)), deg])
+    a = pesq(clean, deg, SR)
+    b = pesq(clean, shifted, SR)
+    assert abs(a - b) < 0.25, (a, b)
+
+
+def test_pesq_additive_noise_worse_than_attenuation():
+    """Asymmetry term: additive noise is penalized more than the same
+    -power of missing signal (P.862 asymmetric disturbance)."""
+    clean = _speechlike()
+    noisy = pesq(clean, _at_snr(clean, 8.0), SR)
+    muted = pesq(clean, clean * 0.6, SR)
+    assert muted > noisy, (muted, noisy)
+
+
+def test_pesq_8k_mode():
+    x = _speechlike()
+    x8 = x[::2]  # naive decimate is fine for a smoke check
+    assert pesq(x8, x8, 8000) == pytest.approx(4.5, abs=1e-3)
+
+
+# ------------------------------------------------------- tracker wiring
+
+
+def test_tracker_emits_real_pesq_and_stoi(tmp_path):
+    """End-to-end: MetricsTracker must produce finite PESQ/STOI in this
+    environment (VERDICT r1 item 5 — no NaN columns in the eval table)."""
+    from rtfs_tpu.metrics.tracker import ALLMetricsTracker
+
+    clean = _speechlike(seconds=2.0)[None, :]
+    est = _at_snr(clean[0], 12.0)[None, :]
+    mix = _at_snr(clean[0], 3.0)
+    tr = ALLMetricsTracker(save_file=str(tmp_path / "m.csv"), sample_rate=SR)
+    tr(mix, clean, est, "utt0")
+    tr.final()
+    row = tr.get_mean()
+    for k in ("pesq", "stoi", "si-snr", "si-snr_i"):
+        assert np.isfinite(row[k]), (k, row)
+    assert -0.5 <= row["pesq"] <= 4.5
+    assert 0.0 <= row["stoi"] <= 1.0

@@ -270,12 +270,23 @@ def main(conf, args):
         best = ckpt.best_step()
         if best is not None:
             best_state = ckpt.restore(jax.tree.map(np.asarray, state), best)
+            params = best_state.params
+            video_variables = best_state.video_variables
+            if (isinstance(params, dict)
+                    and set(params.keys()) == {"audio", "video"}):
+                # joint-trained run: re-fold video params into the video
+                # variables so the exported bundle matches the frozen-
+                # backbone layout test.py/inference.py expect
+                video_variables = {
+                    **(video_variables or {}), "params": params["video"],
+                }
+                params = params["audio"]
             export_model(
                 os.path.join(exp_dir, "best_model.bin"),
                 conf["audionet"],
-                best_state.params,
+                params,
                 best_state.batch_stats,
-                best_state.video_variables,
+                video_variables,
                 infos={"best_epoch": int(best), "val_loss": best_val},
             )
             print(f"exported best model (epoch {best}) to {exp_dir}/best_model.bin")
