@@ -8,8 +8,16 @@ else 3; output dim = hidden * num_directions):
 
     f_t = sigmoid(U1_t + v_f * c_{t-1} + b_f)
     c_t = f_t * c_{t-1} + (1 - f_t) * U0_t
-    r_t = sigmoid(U2_t + v_r * c_{t-1} + b_r)
+    r_t = sigmoid(U2_t + v_r * c_t + b_r)         # NOTE: reads c_t
     h_t = r_t * c_t + (1 - r_t) * x_hw_t          # highway
+
+NOTE on the reset gate: the PAPER (arXiv 1709.02755) writes r_t as a
+function of c_{t-1}, but the shipped ``sru`` package computes the reset
+gate from the *updated* cell state c_t (both the CUDA kernel and the
+naive fallback update the cell before the second sigmoid). The package is
+what the reference actually executes, so rtfs_tpu follows the code, not
+the paper. ``tests/test_sru_semantics.py`` pins this with an independent
+numpy transcription of the package recurrence.
 
 where ``x_hw = x`` when k == 3 (input dim == output dim) or ``U3`` when
 k == 4, ``v_f, v_r`` are per-unit recurrence vectors ("weight_c"), and the
@@ -58,8 +66,10 @@ def _layer_scan(u: jax.Array, v: jax.Array, b: jax.Array, x_hw: jax.Array):
     def step(c, inputs):
         u_t, xhw_t = inputs  # (B, 3, H), (B, H)
         f = jax.nn.sigmoid(u_t[:, 1] + v_f * c + b_f)
-        r = jax.nn.sigmoid(u_t[:, 2] + v_r * c + b_r)
         c_new = f * c + (1.0 - f) * u_t[:, 0]
+        # reset gate reads the UPDATED cell (sru package semantics; the
+        # paper says c_{t-1} — see module docstring)
+        r = jax.nn.sigmoid(u_t[:, 2] + v_r * c_new + b_r)
         h = r * c_new + (1.0 - r) * xhw_t
         return c_new, h
 

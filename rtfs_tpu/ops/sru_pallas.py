@@ -4,9 +4,12 @@ The SRU input projection is a large MXU matmul (done by XLA outside the
 kernel); this module fuses ONLY the elementwise recurrence
 
     f_t = sigmoid(u1_t + v_f * c_{t-1} + b_f)
-    r_t = sigmoid(u2_t + v_r * c_{t-1} + b_r)
     c_t = f_t * c_{t-1} + (1 - f_t) * u0_t
+    r_t = sigmoid(u2_t + v_r * c_t + b_r)   # reset reads the UPDATED cell
     h_t = r_t * c_t + (1 - r_t) * xhw_t
+
+(the ``sru`` package computes r_t from c_t, not the paper's c_{t-1} —
+see ``rtfs_tpu.ops.sru`` docstring)
 
 into one kernel — versus ``lax.scan`` which round-trips HBM and pays launch
 overhead every step. On the RTFS-Net-4 forward this recurrence dominates
@@ -75,8 +78,8 @@ def _fwd_kernel(u_ref, xhw_ref, vb_ref, h_ref, c_ref, carry):
         u1 = u_t[h : 2 * h]
         u2 = u_t[2 * h : 3 * h]
         f = jax.nn.sigmoid(u1 + v_f * c_prev + b_f)
-        r = jax.nn.sigmoid(u2 + v_r * c_prev + b_r)
         c = f * c_prev + (1.0 - f) * u0
+        r = jax.nn.sigmoid(u2 + v_r * c + b_r)
         h_t = r * c + (1.0 - r) * xhw_ref[t]
         c_ref[t] = c.astype(c_ref.dtype)
         h_ref[t] = h_t.astype(h_ref.dtype)
@@ -117,12 +120,14 @@ def _bwd_kernel(u_ref, xhw_ref, vb_ref, c_ref, cin_ref, dh_ref,
         u1 = u_t[h : 2 * h]
         u2 = u_t[2 * h : 3 * h]
         f = jax.nn.sigmoid(u1 + v_f * c_prev + b_f)
-        r = jax.nn.sigmoid(u2 + v_r * c_prev + b_r)
+        r = jax.nn.sigmoid(u2 + v_r * c_t + b_r)
 
         dh = dh_ref[t]
         dr = dh * (c_t - xhw_ref[t])
         dm = dr * r * (1.0 - r)
-        dc = dh * r + dc_next
+        # c_t feeds h directly AND the reset pre-activation (a_r = u2 +
+        # v_r*c_t + b_r), plus the next step's recurrence
+        dc = dh * r + dm * v_r + dc_next
         df = dc * (c_prev - u0)
         da = df * f * (1.0 - f)
 
@@ -131,11 +136,11 @@ def _bwd_kernel(u_ref, xhw_ref, vb_ref, c_ref, cin_ref, dh_ref,
         ).astype(du_ref.dtype)
         dxhw_ref[t] = (dh * (1.0 - r)).astype(dxhw_ref.dtype)
 
-        dc_prev = dc * f + dm * v_r + da * v_f
+        dc_prev = dc * f + da * v_f
         return (
             dc_prev,
             dvf + da * c_prev,
-            dvr + dm * c_prev,
+            dvr + dm * c_t,
             dbf + da,
             dbr + dm,
         )

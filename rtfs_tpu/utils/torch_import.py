@@ -240,6 +240,34 @@ def _ln4d(tb, f, t, per_channel):
         tb.put_p(f + ["bias"], b.transpose(0, 2, 3, 1))
 
 
+def convert_sru_packed(w, wc, bias, dirs=2):
+    """Translate one REAL ``sru``-package (v2.6) SRUCell layer to rtfs layout.
+
+    Package layout (sru/modules.py SRUCell; column order established by the
+    CUDA kernel's ``u + col*k`` pointer arithmetic — k innermost per hidden
+    unit, units per direction, forward direction first):
+      weight   (d_in, dirs*hidden*k)  -- [dir][unit][k] column order
+      weight_c (2*dirs*hidden,)       -- [v_f (dirs*hidden); v_r (...)]
+      bias     (2*dirs*hidden,)       -- [b_f; b_r(init=highway_bias)]
+    rtfs_tpu layout:
+      weight (d_in, dirs*k*hidden)    -- [dir][k][unit] column order
+      weight_c / bias (dirs, 2, hidden)
+
+    Validated against an independent numpy transcription of the package's
+    recurrence + layouts in ``tests/test_sru_semantics.py``; re-verify
+    against a live sru install with ``tools/validate_sru_import.py``.
+    """
+    d_in = w.shape[0]
+    out2 = wc.shape[0] // 2  # dirs*hidden
+    k = w.shape[1] // out2
+    hidden = out2 // dirs
+    w = w.reshape(d_in, dirs, hidden, k).transpose(0, 1, 3, 2)
+    w = w.reshape(d_in, dirs * k * hidden)
+    wc = wc.reshape(2, dirs, hidden).transpose(1, 0, 2)
+    bias = bias.reshape(2, dirs, hidden).transpose(1, 0, 2)
+    return w, wc, bias
+
+
 def _dual_path_rnn(tb, f, t, num_layers):
     _ln4d(tb, f + ["LayerNormalization4D_0"], f"{t}.norm", per_channel=True)
     for l in range(num_layers):
@@ -250,30 +278,15 @@ def _dual_path_rnn(tb, f, t, num_layers):
                      tb.t(f"{t}.rnn.weight_cs.{l}"))
             tb.put_p(f + ["SRU_0", f"bias_{l}"], tb.t(f"{t}.rnn.biases.{l}"))
         elif tb.has(f"{t}.rnn.rnn_lst.{l}.weight"):
-            # REAL `sru` package (v2.6) SRUCell layout. Best-effort
-            # translation from the published parameter shapes:
-            #   weight   (d_in, dirs*hidden*k)  -- k innermost per unit
-            #   weight_c (2*dirs*hidden,)       -- [v_f; v_r]
-            #   bias     (2*dirs*hidden,)       -- [b_f; b_r(highway)]
-            # rtfs_tpu layout: weight (d_in, dirs*k*hidden),
-            # weight_c/bias (dirs, 2, hidden). NOTE: validated against the
-            # package's documented shapes, not a live sru install (absent
-            # from this image) — re-verify against a real checkpoint.
-            w = np.asarray(tb.t(f"{t}.rnn.rnn_lst.{l}.weight"))
-            wc = np.asarray(tb.t(f"{t}.rnn.rnn_lst.{l}.weight_c"))
-            bias = np.asarray(tb.t(f"{t}.rnn.rnn_lst.{l}.bias"))
-            d_in = w.shape[0]
-            out2 = wc.shape[0] // 2  # dirs*hidden
-            k = w.shape[1] // out2
-            # infer dirs from bidirectionality: reference uses bidirectional
-            dirs = 2
-            hidden = out2 // dirs
-            w = w.reshape(d_in, dirs, hidden, k).transpose(0, 1, 3, 2)
-            tb.put_p(f + ["SRU_0", f"weight_{l}"],
-                     w.reshape(d_in, dirs * k * hidden))
-            wc = wc.reshape(2, dirs, hidden).transpose(1, 0, 2)
+            w, wc, bias = convert_sru_packed(
+                np.asarray(tb.t(f"{t}.rnn.rnn_lst.{l}.weight")),
+                np.asarray(tb.t(f"{t}.rnn.rnn_lst.{l}.weight_c")),
+                np.asarray(tb.t(f"{t}.rnn.rnn_lst.{l}.bias")),
+                # reference DualPathRNN always builds bidirectional SRUs
+                dirs=2,
+            )
+            tb.put_p(f + ["SRU_0", f"weight_{l}"], w)
             tb.put_p(f + ["SRU_0", f"weight_c_{l}"], wc)
-            bias = bias.reshape(2, dirs, hidden).transpose(1, 0, 2)
             tb.put_p(f + ["SRU_0", f"bias_{l}"], bias)
         else:
             raise KeyError(f"no SRU params found under {t}.rnn (layer {l})")

@@ -115,8 +115,10 @@ def _make_torch_sru():
                     for t in order:
                         u_t = u[t, :, d]
                         f = torch.sigmoid(u_t[:, 1] + v_f * c + b_f)
-                        r = torch.sigmoid(u_t[:, 2] + v_r * c + b_r)
                         c = f * c + (1 - f) * u_t[:, 0]
+                        # sru-package semantics: reset gate reads the
+                        # UPDATED cell c_t (code, not the paper's c_{t-1})
+                        r = torch.sigmoid(u_t[:, 2] + v_r * c + b_r)
                         xhw = (u_t[:, 3] if k == 4
                                else h[t, :, d * H:(d + 1) * H])
                         hs[t] = r * c + (1 - r) * xhw

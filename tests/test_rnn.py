@@ -60,8 +60,9 @@ def _sru_numpy(x, params, hidden, layers, bidirectional, highway_bias=-1.0):
             for t in order:
                 u_t = u[:, t, d]
                 f = 1 / (1 + np.exp(-(u_t[:, 1] + vc[d, 0] * c + b[d, 0])))
-                r = 1 / (1 + np.exp(-(u_t[:, 2] + vc[d, 1] * c + b[d, 1])))
                 c = f * c + (1 - f) * u_t[:, 0]
+                # sru-package order: reset gate reads the updated cell
+                r = 1 / (1 + np.exp(-(u_t[:, 2] + vc[d, 1] * c + b[d, 1])))
                 xhw = u_t[:, 3] if k == 4 else h[:, t, d * hidden:(d + 1) * hidden]
                 hs[:, t] = r * c + (1 - r) * xhw
             outs.append(hs)
