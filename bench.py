@@ -98,6 +98,81 @@ def main() -> None:
         if audio_sec_per_s > best:
             best, best_bs, best_prec = audio_sec_per_s, bs, prec
 
+    # ---- training step (fwd + bwd + AdamW), f32 and bf16 ----------------
+    # Chained methodology: params/opt_state thread through every iteration
+    # of one fori_loop, so steps are data-dependent and cannot be
+    # deduplicated by the relay.
+    import optax
+
+    from rtfs_tpu.losses import pairwise_neg_snr, pit_loss
+
+    opt = optax.adamw(1e-3)
+    train_stats = {}
+    for prec, mdl, v0 in (
+        ("f32", model, variables),
+        ("bf16", model_bf16, variables_bf16),
+    ):
+        bs = 8
+        wav = jnp.asarray(rng.standard_normal((bs, 32000)).astype(np.float32))
+        emb = jnp.asarray(rng.standard_normal((bs, 50, 512)).astype(np.float32))
+        tgt = wav[:, None] * 0.7
+
+        def loss_fn(params, bstats):
+            ests = mdl.apply(
+                {"params": params, "batch_stats": bstats}, wav, emb
+            )
+            return pit_loss(pairwise_neg_snr, ests, tgt)
+
+        @partial(jax.jit, static_argnames="n_iter")
+        def train_loop(params, bstats, opt_state, n_iter):
+            def body(_, carry):
+                params, opt_state = carry
+                grads = jax.grad(loss_fn)(params, bstats)
+                updates, opt_state = opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return params, opt_state
+
+            params, opt_state = jax.lax.fori_loop(
+                0, n_iter, body, (params, opt_state)
+            )
+            return loss_fn(params, bstats)
+
+        bstats = v0.get("batch_stats", {})
+        opt_state = opt.init(v0["params"])
+        n_iter = 10
+        try:
+            float(train_loop(v0["params"], bstats, opt_state, 1))
+            t0 = time.perf_counter()
+            float(train_loop(v0["params"], bstats, opt_state, 1))
+            overhead = time.perf_counter() - t0
+            float(train_loop(v0["params"], bstats, opt_state, n_iter))
+            t0 = time.perf_counter()
+            float(train_loop(v0["params"], bstats, opt_state, n_iter))
+            total = time.perf_counter() - t0
+        except Exception as e:
+            print(f"# train {prec} FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+            continue
+        dt = max(total - overhead, 1e-9) / (n_iter - 1)
+        thr = bs * 2.0 / dt
+        train_stats[f"train_{prec}_audio_sec_per_s"] = round(thr, 1)
+        print(f"# train bs={bs} {prec}: {dt*1e3:.1f} ms/step, "
+              f"{thr:.0f} audio-s/s", file=sys.stderr)
+        if prec == "bf16":
+            from rtfs_tpu.utils.flops import compiled_flops
+
+            step_flops = compiled_flops(
+                lambda p, b_, o: train_loop.__wrapped__(p, b_, o, 1),
+                v0["params"], bstats, opt_state,
+            )
+            if step_flops:
+                # v5e peak: 197 TFLOP/s bf16
+                mfu = step_flops / dt / 197e12
+                train_stats["train_bf16_mfu"] = round(mfu, 4)
+                train_stats["train_step_tflops"] = round(step_flops / 1e12, 3)
+                print(f"# train bf16 MFU {mfu*100:.1f}% "
+                      f"({step_flops/1e12:.2f} TFLOP/step)", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -105,6 +180,7 @@ def main() -> None:
                 "value": round(best, 1),
                 "unit": "audio-sec/s/chip",
                 "vs_baseline": round(best / BASELINE_AUDIO_SEC_PER_S, 2),
+                **train_stats,
             }
         )
     )

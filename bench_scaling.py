@@ -32,42 +32,42 @@ def bench_n_devices(n_dev: int, per_device_batch: int, wav_len: int,
     from __graft_entry__ import _host_init_params
     from flax.core import FrozenDict
 
+    from rtfs_tpu.models.video import make_video_model
+
     mesh = make_mesh(n_data=n_dev, devices=jax.devices()[:n_dev])
     conf = load_config("lrs2_RTFSNet_4_layer")
     model = build_avnet(conf)
-    system = AVSystem(model, video_model=None,
+    # the REAL train.py path: frozen FRCNN lip backbone feeding the AV net
+    # (train.py:88,101-104); no passthrough stand-ins.
+    video_model = make_video_model(conf["videonet"])
+    system = AVSystem(model, video_model=video_model,
                       optimizer=make_optimizer("adamw", lr=1e-3), mesh=mesh,
                       donate_state=False)
 
     b = per_device_batch * n_dev
+    n_frames = max(wav_len // 640, 1)  # 25 fps vs 16 kHz
     rng = np.random.default_rng(0)
     batch = {
         "mix": rng.standard_normal((b, wav_len)).astype(np.float32) * 0.1,
         "src": rng.standard_normal((b, 1, wav_len)).astype(np.float32) * 0.1,
+        "mouth": rng.standard_normal(
+            (b, n_frames, 88, 88)).astype(np.float32),
     }
-    variables = _host_init_params(
-        model, jnp.zeros((b, wav_len)), jnp.zeros((b, 13, 512))
+    mouth = jnp.zeros((b, n_frames, 88, 88))
+    video_variables = _host_init_params(video_model, mouth, seed=1)
+    emb_shape = jax.eval_shape(
+        lambda v, m: video_model.apply(v, m), video_variables, mouth
     )
-    # audio-only system (video_model=None): model still needs mouth emb ->
-    # wrap forward with a fixed zero embedding via the batch.
-    emb = np.zeros((b, 13, 512), np.float32)
-    batch["mouth"] = emb
-
-    class _Passthrough:
-        def init(self, rngs, mouth):
-            return {}
-
-        def apply(self, variables, mouth):
-            return mouth
-
-    system.video_model = _Passthrough()
+    variables = _host_init_params(
+        model, jnp.zeros((b, wav_len)), jnp.zeros(emb_shape.shape)
+    )
 
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=variables["params"],
         batch_stats=variables.get("batch_stats", FrozenDict()),
         opt_state=system.optimizer.init(variables["params"]),
-        video_variables={},
+        video_variables=video_variables,
     )
     state = replicate(mesh, state)
     sbatch = shard_batch(mesh, batch)
@@ -111,12 +111,27 @@ def main():
         print(f"# {n} devices: {thr:.1f} audio-sec/s/chip", flush=True)
     base = results[min(results)]
     eff = {n: results[n] / base for n in results}
-    print(json.dumps({
+    platform = jax.devices()[0].platform
+    out = {
         "metric": "train_weak_scaling_efficiency",
         "value": round(min(eff.values()), 3),
         "unit": "fraction",
-        "per_chip_throughput": {str(k): round(v, 1) for k, v in results.items()},
-    }))
+        "platform": platform,
+        "per_chip_throughput": {
+            str(k): round(v, 3) for k, v in results.items()
+        },
+        # On a virtual CPU mesh all "devices" share the same cores, so
+        # per-chip weak scaling CANNOT hold by construction; the meaningful
+        # functional check there is that TOTAL throughput stays ~flat while
+        # the sharded step runs correctly at every width.
+        "total_speedup": {
+            str(n): round(results[n] * n / base, 3) for n in results
+        },
+    }
+    if platform == "cpu":
+        out["note"] = ("virtual CPU mesh: functional validation only; "
+                       "per-chip efficiency reflects core sharing, not ICI")
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -337,15 +337,27 @@ class AEVideoModel(nn.Module):
             x.reshape(b * t, h, w)[..., None]
         )  # (B*T, H', W', C)
         if self.is2d:
+            # Reference semantics (autoencoder_videomodel.py:50-52): the
+            # flattened spatial grid H'*W' becomes the CHANNEL axis and the
+            # encoder channels C become a spatial axis — channel-first
+            # (B, H'W', T, C) is channels-last (B, T, C, H'W') here.
             c = z.shape[-1]
             z = z.reshape(b, t, -1, c)  # (B, T, H'*W', C)
-            return jnp.swapaxes(z, 1, 2)  # (B, H'W', T, C)
+            return jnp.swapaxes(z, 2, 3)  # (B, T, C, H'W')
+        # 1D: flatten per-frame features. NOTE: channels-last flatten order
+        # is (H', W', C) vs the reference's channel-first (C, H', W') — a
+        # fixed permutation of the embedding vector (importer would need a
+        # row permutation on the consuming conv; no shipped preset loads a
+        # pretrained 1D-AE backbone).
         return z.reshape(b, t, -1)  # (B, T, C*H'*W')
 
 
 VIDEO_MODEL_REGISTRY = {
     "FRCNNVideoModel": FRCNNVideoModel,
     "AEVideoModel": AEVideoModel,
+    # reference legacy configs name the AE video path by its encoder
+    # (config/legacy-configs/lrs2_dptnet2d_mini.yml: model_name: EncoderAE)
+    "EncoderAE": AEVideoModel,
 }
 
 

@@ -105,25 +105,29 @@ def _bwd_kernel(u_ref, xhw_ref, vb_ref, c_ref, cin_ref, dh_ref,
         dc_carry[...] = jnp.zeros((h, b), dc_carry.dtype)
         dvb_acc[...] = jnp.zeros((4, h, b), dvb_acc.dtype)
 
-    v_f = vb_ref[0]
-    v_r = vb_ref[1]
-    b_f = vb_ref[2]
-    b_r = vb_ref[3]
+    # All backward arithmetic runs in f32 regardless of the model dtype:
+    # casts happen at load so HBM/VMEM traffic stays in the param dtype.
+    # (Also avoids a Mosaic verifier failure on mixed f32-scalar -> bf16-
+    # vector broadcasts observed when the body ran in bf16.)
+    v_f = vb_ref[0].astype(jnp.float32)
+    v_r = vb_ref[1].astype(jnp.float32)
+    b_f = vb_ref[2].astype(jnp.float32)
+    b_r = vb_ref[3].astype(jnp.float32)
 
     def step(i, carry):
         t = t_chunk - 1 - i
         dc_next, dvf, dvr, dbf, dbr = carry
-        c_prev = cin_ref[t]
-        c_t = c_ref[t]
-        u_t = u_ref[t]
+        c_prev = cin_ref[t].astype(jnp.float32)
+        c_t = c_ref[t].astype(jnp.float32)
+        u_t = u_ref[t].astype(jnp.float32)
         u0 = u_t[0:h]
         u1 = u_t[h : 2 * h]
         u2 = u_t[2 * h : 3 * h]
         f = jax.nn.sigmoid(u1 + v_f * c_prev + b_f)
         r = jax.nn.sigmoid(u2 + v_r * c_t + b_r)
 
-        dh = dh_ref[t]
-        dr = dh * (c_t - xhw_ref[t])
+        dh = dh_ref[t].astype(jnp.float32)
+        dr = dh * (c_t - xhw_ref[t].astype(jnp.float32))
         dm = dr * r * (1.0 - r)
         # c_t feeds h directly AND the reset pre-activation (a_r = u2 +
         # v_r*c_t + b_r), plus the next step's recurrence

@@ -378,6 +378,65 @@ def _rnn_projection(tb, f, t):
     tb.put_p(f + ["LayerNorm_1", "bias"], tb.t(f"{t}.norm2.bias"))
 
 
+def _global_attention2d(tb, f, t, layer_conf):
+    """GlobalAttention2D (reference attention.py:223-280).
+
+    Flax auto-indices follow creation order inside the compact body:
+    MHSA_0=time, then time FFN (single_ffn), then the SHARED group FFN
+    (group_ffn), then MHSA_1=freq, then freq FFN.
+    """
+    single = layer_conf.get("single_ffn", True)
+    group = layer_conf.get("group_ffn", False)
+    ffn_i = 0
+    _mhsa1d(tb, f + ["MultiHeadSelfAttention_0"], f"{t}.time_MHSA")
+    if single:
+        _ffn(tb, f + [f"FeedForwardNetwork_{ffn_i}"], f"{t}.time_FFN")
+        ffn_i += 1
+    if group:
+        _ffn(tb, f + [f"FeedForwardNetwork_{ffn_i}"], f"{t}.group_FFN")
+        ffn_i += 1
+    _mhsa1d(tb, f + ["MultiHeadSelfAttention_1"], f"{t}.freq_MHSA")
+    if single:
+        _ffn(tb, f + [f"FeedForwardNetwork_{ffn_i}"], f"{t}.freq_FFN")
+
+
+def _cbam(tb, f, t):
+    """CBAMBlock: SE convs (shared over max/avg) + spatial conv."""
+    tb.put_p(f + ["Conv_0", "kernel"], _conv_w(tb.t(f"{t}.ca.se.0.weight")))
+    tb.put_p(f + ["Conv_1", "kernel"], _conv_w(tb.t(f"{t}.ca.se.2.weight")))
+    tb.put_p(f + ["Conv_2", "kernel"], _conv_w(tb.t(f"{t}.sa.conv.weight")))
+    tb.put_p(f + ["Conv_2", "bias"], tb.t(f"{t}.sa.conv.bias"))
+
+
+def _shuffle_attention(tb, f, t):
+    for name in ("cweight", "cbias", "sweight", "sbias"):
+        tb.put_p(f + [name], np.asarray(tb.t(f"{t}.{name}")).reshape(-1))
+    tb.put_p(f + ["gn_scale"], tb.t(f"{t}.gn.weight"))
+    tb.put_p(f + ["gn_bias"], tb.t(f"{t}.gn.bias"))
+
+
+def _cot_attention(tb, f, t):
+    def bn(fname, tname):
+        tb.put_p(f + [fname, "BatchNorm_0", "scale"], tb.t(f"{tname}.weight"))
+        tb.put_p(f + [fname, "BatchNorm_0", "bias"], tb.t(f"{tname}.bias"))
+        tb.put_s(f + [fname, "BatchNorm_0", "mean"],
+                 tb.t(f"{tname}.running_mean"))
+        tb.put_s(f + [fname, "BatchNorm_0", "var"],
+                 tb.t(f"{tname}.running_var"))
+
+    tb.put_p(f + ["Conv_0", "kernel"], _conv_w(tb.t(f"{t}.key_embed.0.weight")))
+    bn("BatchNorm_0", f"{t}.key_embed.1")
+    tb.put_p(f + ["Conv_1", "kernel"],
+             _conv_w(tb.t(f"{t}.value_embed.0.weight")))
+    bn("BatchNorm_1", f"{t}.value_embed.1")
+    tb.put_p(f + ["Conv_2", "kernel"],
+             _conv_w(tb.t(f"{t}.attention_embed.0.weight")))
+    bn("BatchNorm_2", f"{t}.attention_embed.1")
+    tb.put_p(f + ["Conv_3", "kernel"],
+             _conv_w(tb.t(f"{t}.attention_embed.3.weight")))
+    tb.put_p(f + ["Conv_3", "bias"], tb.t(f"{t}.attention_embed.3.bias"))
+
+
 def _globalatt_layer(tb, f, t, layer_conf):
     lt = layer_conf["layer_type"]
     if lt == "DualPathRNN":
@@ -386,8 +445,16 @@ def _globalatt_layer(tb, f, t, layer_conf):
         _mhsa2d(tb, f, t, layer_conf.get("n_head", 4))
     elif lt == "GlobalAttention":
         _global_attention(tb, f, t)
+    elif lt == "GlobalAttention2D":
+        _global_attention2d(tb, f, t, layer_conf)
     elif lt == "GlobalAttentionRNN":
         _rnn_projection(tb, f + ["RNNProjection_0"], f"{t}.RNN")
+    elif lt == "CBAMBlock":
+        _cbam(tb, f, t)
+    elif lt == "ShuffleAttention":
+        _shuffle_attention(tb, f, t)
+    elif lt == "CoTAttention":
+        _cot_attention(tb, f, t)
     else:
         raise NotImplementedError(f"import of layer {lt}")
 
