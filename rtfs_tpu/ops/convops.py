@@ -20,6 +20,7 @@ reference (PyTorch) is channels-first; the semantics matched here are:
 
 from __future__ import annotations
 
+import functools
 from typing import Sequence
 
 import jax
@@ -149,32 +150,27 @@ def conv_transpose(
     return out
 
 
-def interp_nearest(x: jax.Array, size: Sequence[int]) -> jax.Array:
-    """torch F.interpolate(mode="nearest") over the spatial dims.
+def _nearest_axis_idx(in_sz: int, out_sz: int) -> np.ndarray:
+    # torch computes src = floor(float32(i) * (float32(in)/float32(out)))
+    # in single precision (upsample_nearest CPU/CUDA kernels); double
+    # precision floor(i * in/out) is 1 ulp off at exact multiples
+    # (e.g. 3280->25 at i=15). Match torch bit-for-bit.
+    scale = np.float32(in_sz) / np.float32(out_sz)
+    idx = np.floor(
+        np.arange(out_sz, dtype=np.float32) * scale
+    ).astype(np.int64)
+    return np.minimum(idx, in_sz - 1)
 
-    x: (B, *spatial, C); size: target spatial sizes (static).
-    """
+
+def _interp_nearest_fwd_impl(x: jax.Array, size) -> jax.Array:
     nd = x.ndim - 2
-    assert len(size) == nd
-
-    def axis_idx(in_sz, out_sz):
-        # torch computes src = floor(float32(i) * (float32(in)/float32(out)))
-        # in single precision (upsample_nearest CPU/CUDA kernels); double
-        # precision floor(i * in/out) is 1 ulp off at exact multiples
-        # (e.g. 3280->25 at i=15). Match torch bit-for-bit.
-        scale = np.float32(in_sz) / np.float32(out_sz)
-        idx = np.floor(
-            np.arange(out_sz, dtype=np.float32) * scale
-        ).astype(np.int64)
-        return np.minimum(idx, in_sz - 1)
-
     if nd == 2 and x.shape[1] != size[0] and x.shape[2] != size[1]:
         # Both spatial axes resize: ONE merged gather over the flattened
         # (T*F) axis instead of two takes with a materialized intermediate.
         b, t_in, f_in, c = x.shape
         t_out, f_out = int(size[0]), int(size[1])
-        ti = axis_idx(t_in, t_out)
-        fj = axis_idx(f_in, f_out)
+        ti = _nearest_axis_idx(t_in, t_out)
+        fj = _nearest_axis_idx(f_in, f_out)
         flat_idx = (ti[:, None] * f_in + fj[None, :]).reshape(-1)
         out = jnp.take(x.reshape(b, t_in * f_in, c),
                        jnp.asarray(flat_idx), axis=1)
@@ -185,8 +181,58 @@ def interp_nearest(x: jax.Array, size: Sequence[int]) -> jax.Array:
         out_sz = int(size[axis])
         if in_sz == out_sz:
             continue
-        x = jnp.take(x, jnp.asarray(axis_idx(in_sz, out_sz)), axis=1 + axis)
+        x = jnp.take(
+            x, jnp.asarray(_nearest_axis_idx(in_sz, out_sz)), axis=1 + axis
+        )
     return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _interp_nearest_cv(x: jax.Array, size) -> jax.Array:
+    return _interp_nearest_fwd_impl(x, size)
+
+
+def _interp_nearest_cv_fwd(x, size):
+    return _interp_nearest_fwd_impl(x, size), x.shape
+
+
+def _interp_nearest_cv_bwd(size, in_shape, g):
+    # The autodiff adjoint of a gather is a scatter-add — catastrophically
+    # slow on TPU (profiled at ~25% of an RTFS train step). The nearest
+    # index map is separable and compile-time static, so the adjoint is a
+    # per-axis matmul with the transposed one-hot gather matrix instead:
+    # din[i] = sum_{o: idx(o)=i} dout[o].
+    nd = g.ndim - 2
+    for axis in range(nd):
+        in_sz = int(in_shape[1 + axis])
+        out_sz = g.shape[1 + axis]
+        if in_sz == out_sz:
+            continue
+        idx = _nearest_axis_idx(in_sz, out_sz)
+        m = np.zeros((out_sz, in_sz), dtype=np.float32)
+        m[np.arange(out_sz), idx] = 1.0
+        g = jnp.moveaxis(g, 1 + axis, -1)
+        # 0/1 selection matrix: HIGHEST precision so f32 cotangents don't
+        # get squeezed through the TPU's default bf16 matmul inputs.
+        g = jnp.matmul(g, jnp.asarray(m, g.dtype),
+                       precision=jax.lax.Precision.HIGHEST)
+        g = jnp.moveaxis(g, -1, 1 + axis)
+    return (g,)
+
+
+_interp_nearest_cv.defvjp(_interp_nearest_cv_fwd, _interp_nearest_cv_bwd)
+
+
+def interp_nearest(x: jax.Array, size: Sequence[int]) -> jax.Array:
+    """torch F.interpolate(mode="nearest") over the spatial dims.
+
+    x: (B, *spatial, C); size: target spatial sizes (static). Forward is a
+    (merged) static gather; backward is a scatter-free per-axis matmul
+    (see ``_interp_nearest_cv_bwd``).
+    """
+    nd = x.ndim - 2
+    assert len(size) == nd
+    return _interp_nearest_cv(x, tuple(int(s) for s in size))
 
 
 def _adaptive_pool_matrix(in_sz: int, out_sz: int) -> np.ndarray:

@@ -151,6 +151,42 @@ class SRU(nn.Module):
     # Parameter shapes are identical to the unfolded formulation.
     window: Optional[tuple] = None
 
+    def _layer_params(self):
+        """Create (or look up) all layers' params; shared by both paths."""
+        dirs = 2 if self.bidirectional else 1
+        d_out = dirs * self.hidden_size
+        weights, weight_cs, biases = [], [], []
+        for layer in range(self.num_layers):
+            d_in = self.input_size if layer == 0 else d_out
+            k = 4 if d_in != d_out else 3
+
+            def w_init(key, shape, dtype=jnp.float32):
+                bound = math.sqrt(3.0 / shape[0])
+                return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+            weights.append(self.param(
+                f"weight_{layer}", w_init, (d_in, dirs * k * self.hidden_size)
+            ))
+            weight_cs.append(self.param(
+                f"weight_c_{layer}",
+                lambda key, shape, dtype=jnp.float32: jax.random.uniform(
+                    key, shape, dtype, -math.sqrt(3.0 / self.hidden_size),
+                    math.sqrt(3.0 / self.hidden_size),
+                ),
+                (dirs, 2, self.hidden_size),
+            ))
+
+            hb = self.highway_bias
+
+            def b_init(key, shape, dtype=jnp.float32):
+                b = jnp.zeros(shape, dtype)
+                return b.at[:, 1].set(hb)  # reset/highway-gate bias
+
+            biases.append(self.param(
+                f"bias_{layer}", b_init, (dirs, 2, self.hidden_size)
+            ))
+        return weights, weight_cs, biases
+
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
         backend = self.backend
@@ -159,6 +195,27 @@ class SRU(nn.Module):
         fuse_window = self.window is not None and backend in (
             "pallas", "interpret"
         )
+        dirs = 2 if self.bidirectional else 1
+        d_out = dirs * self.hidden_size
+        weights, weight_cs, biases = self._layer_params()
+
+        # Fully-fused dual-direction stack (ops.sru_fused): one kernel per
+        # layer, hidden-layer projections fused in, no flips/transposes
+        # between layers. Requires bidirectional + a projected highway on
+        # layer 0 (k=4, i.e. input_size != dirs*hidden).
+        if (
+            backend in ("pallas", "interpret")
+            and self.bidirectional
+            and self.input_size != d_out
+        ):
+            from .sru_fused import sru_stack_tpu
+
+            return sru_stack_tpu(
+                x, weights, weight_cs, biases, self.hidden_size,
+                window=self.window if fuse_window else None,
+                interpret=(backend == "interpret"),
+            )
+
         if self.window is not None and not fuse_window:
             from .convops import unfold_1d
 
@@ -188,39 +245,9 @@ class SRU(nn.Module):
 
             layer0_fn = layer_fn
 
-        dirs = 2 if self.bidirectional else 1
-        d_out = dirs * self.hidden_size
         h = x
         for layer in range(self.num_layers):
-            d_in = self.input_size if layer == 0 else d_out
-            k = 4 if d_in != d_out else 3
-
-            def w_init(key, shape, dtype=jnp.float32):
-                bound = math.sqrt(3.0 / shape[0])
-                return jax.random.uniform(key, shape, dtype, -bound, bound)
-
-            weight = self.param(
-                f"weight_{layer}", w_init, (d_in, dirs * k * self.hidden_size)
-            )
-            weight_c = self.param(
-                f"weight_c_{layer}",
-                lambda key, shape, dtype=jnp.float32: jax.random.uniform(
-                    key, shape, dtype, -math.sqrt(3.0 / self.hidden_size),
-                    math.sqrt(3.0 / self.hidden_size),
-                ),
-                (dirs, 2, self.hidden_size),
-            )
-
-            hb = self.highway_bias
-
-            def b_init(key, shape, dtype=jnp.float32):
-                b = jnp.zeros(shape, dtype)
-                return b.at[:, 1].set(hb)  # reset/highway-gate bias
-
-            bias = self.param(
-                f"bias_{layer}", b_init, (dirs, 2, self.hidden_size)
-            )
             h = (layer0_fn if layer == 0 else layer_fn)(
-                h, weight, weight_c, bias
+                h, weights[layer], weight_cs[layer], biases[layer]
             )
         return h

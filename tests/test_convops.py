@@ -5,6 +5,7 @@ import pytest
 import torch
 import torch.nn.functional as F
 
+import jax
 import jax.numpy as jnp
 
 from rtfs_tpu.ops import convops
@@ -171,3 +172,24 @@ def test_unfold_matches_torch():
         jnp.asarray(x.numpy()[..., 0].transpose(0, 2, 1)), k, 1
     )  # (B, T', C*k)
     np.testing.assert_allclose(np.asarray(got).transpose(0, 2, 1), ref, atol=0)
+
+
+def test_interp_nearest_scatter_free_vjp():
+    """The custom adjoint (per-axis one-hot matmuls, no scatter-add) must
+    equal the autodiff-of-gather adjoint for up/down/mixed resizes."""
+    rng = np.random.default_rng(7)
+    cases = [((2, 13, 4), (29,)), ((2, 29, 4), (13,)),
+             ((2, 13, 7, 4), (29, 17)), ((2, 29, 17, 4), (13, 7)),
+             ((2, 13, 7, 4), (13, 17)), ((2, 13, 7, 4), (29, 7))]
+    for shape, size in cases:
+        x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
+        y1, vjp1 = jax.vjp(lambda x_: convops.interp_nearest(x_, size), x)
+        y2, vjp2 = jax.vjp(
+            lambda x_: convops._interp_nearest_fwd_impl(x_, size), x
+        )
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        g = jnp.asarray(rng.standard_normal(y1.shape).astype(np.float32))
+        np.testing.assert_allclose(
+            np.asarray(vjp1(g)[0]), np.asarray(vjp2(g)[0]),
+            atol=2e-6, rtol=1e-6, err_msg=f"{shape} -> {size}",
+        )
