@@ -21,7 +21,7 @@ import numpy as np
 
 
 def bench_n_devices(n_dev: int, per_device_batch: int, wav_len: int,
-                    n_iter: int = 8):
+                    n_iter: int = 8, video_frames_hz: int = 25):
     import jax
     import jax.numpy as jnp
 
@@ -86,7 +86,13 @@ def bench_n_devices(n_dev: int, per_device_batch: int, wav_len: int,
     # (state threads through every step; block_until_ready alone has been
     # observed returning early on relay-backed devices)
     float(m["train_loss"])
-    dt = max(time.perf_counter() - t0 - overhead, 1e-9) / max(n_iter - 1, 1)
+    total = time.perf_counter() - t0
+    if total > 2 * overhead:
+        dt = (total - overhead) / max(n_iter - 1, 1)
+    else:
+        # contended-host noise made the single-step "overhead" sample
+        # comparable to the whole loop; fall back to the plain mean
+        dt = total / n_iter
     audio_sec = b * (wav_len / 16000.0)
     return audio_sec / dt / n_dev  # audio-sec/s/chip
 
@@ -96,7 +102,26 @@ def main():
     parser.add_argument("--per-device-batch", type=int, default=2)
     parser.add_argument("--wav-len", type=int, default=16000)
     parser.add_argument("--devices", type=int, nargs="*", default=None)
+    parser.add_argument("--n-iter", type=int, default=8)
+    parser.add_argument(
+        "--cpu-mesh", type=int, default=0, metavar="N",
+        help="force an N-virtual-device CPU platform (sitecustomize may "
+             "override JAX_PLATFORMS, so the env var alone is not enough)",
+    )
     args = parser.parse_args()
+
+    if args.cpu_mesh:
+        import os
+
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                f"{flags} --xla_force_host_platform_device_count="
+                f"{args.cpu_mesh}"
+            ).strip()
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     import jax
 
@@ -106,7 +131,8 @@ def main():
     )
     results = {}
     for n in dev_counts:
-        thr = bench_n_devices(n, args.per_device_batch, args.wav_len)
+        thr = bench_n_devices(n, args.per_device_batch, args.wav_len,
+                              n_iter=args.n_iter)
         results[n] = thr
         print(f"# {n} devices: {thr:.1f} audio-sec/s/chip", flush=True)
     base = results[min(results)]

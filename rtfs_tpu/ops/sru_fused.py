@@ -68,19 +68,31 @@ def _pad_to(x, axis, size):
     return jnp.pad(x, pads)
 
 
+def _pick_lanes(bsz: int, itemsize: int) -> int:
+    """Block lane width: batch-lane tiles run sequentially on the one
+    TensorCore, so wider blocks shorten the serial grid ~linearly until
+    the layer-0 backward kernel's VMEM blocks stop fitting (at 8-step
+    time chunks: 512 lanes bf16 / 256 lanes f32 for RTFS sizes)."""
+    cap = 512 if itemsize <= 2 else 256
+    lanes = LANE
+    while lanes < cap and bsz > lanes:
+        lanes *= 2
+    return lanes
+
+
 def _round_up(n, m):
     return max(m, -(-n // m) * m)
 
 
-def _vb_pack(v, b):
-    """(dirs, 2, H) v and b -> (dirs*4, H, LANE) lane-replicated constants.
+def _vb_pack(v, b, lanes=LANE):
+    """(dirs, 2, H) v and b -> (dirs*4, H, lanes) lane-replicated constants.
 
     Row blocks per direction: [v_f, v_r, b_f, b_r].
     """
     dirs = v.shape[0]
     vb = jnp.concatenate([v, b], axis=1)  # (dirs, 4, H)
     vb = vb.reshape(dirs * 4, v.shape[-1])
-    return jnp.broadcast_to(vb[:, :, None], (*vb.shape, LANE))
+    return jnp.broadcast_to(vb[:, :, None], (*vb.shape, lanes))
 
 
 # ---------------------------------------------------------------------------
@@ -234,15 +246,16 @@ def _lay0_bwd_kernel(uf_ref, ur_ref, vb_ref, cf_ref, cr_ref,
 def _lay0_prep(u_f, u_r):
     t_len, gh, bsz = u_f.shape
     hdim = gh // 4
+    lanes = _pick_lanes(bsz, u_f.dtype.itemsize)
     # Chunk sized for the HEAVIER (backward) kernel so fwd/bwd agree on the
     # c / cb chunk layout: per t-row, bwd touches u_f+u_r (8H) + c (2H) +
     # dh (2H) in and du (8H) out = 20H channel-rows.
-    tc = _pick_chunk(20 * hdim * LANE * u_f.dtype.itemsize)
-    b_pad = _round_up(bsz, LANE)
+    tc = _pick_chunk(20 * hdim * lanes * u_f.dtype.itemsize)
+    b_pad = _round_up(bsz, lanes)
     t_pad = _round_up(t_len, tc)
     u_fp = _pad_to(_pad_to(u_f, 2, b_pad), 0, t_pad)
     u_rp = _pad_to(_pad_to(u_r, 2, b_pad), 0, t_pad)
-    return u_fp, u_rp, hdim, b_pad, t_pad, tc
+    return u_fp, u_rp, hdim, b_pad, t_pad, tc, lanes
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
@@ -264,8 +277,8 @@ def sru_dual_recurrence(u_f, u_r, vb, interpret=False):
 
 def _lay0_fwd_impl(u_f, u_r, vb, interpret):
     t_len, gh, bsz = u_f.shape
-    u_fp, u_rp, hdim, b_pad, t_pad, tc = _lay0_prep(u_f, u_r)
-    n_tiles, n_chunks = b_pad // LANE, t_pad // tc
+    u_fp, u_rp, hdim, b_pad, t_pad, tc, lanes = _lay0_prep(u_f, u_r)
+    n_tiles, n_chunks = b_pad // lanes, t_pad // tc
 
     def fwd_t(i, j):
         return (j, 0, i)
@@ -279,9 +292,9 @@ def _lay0_fwd_impl(u_f, u_r, vb, interpret):
     def cb_rev(i, j):
         return (n_chunks - 1 - j, 0, i)
 
-    blk = lambda c: pl.BlockSpec((tc, c, LANE), fwd_t,
+    blk = lambda c: pl.BlockSpec((tc, c, lanes), fwd_t,
                                  memory_space=pltpu.VMEM)
-    blk_r = lambda c: pl.BlockSpec((tc, c, LANE), rev_t,
+    blk_r = lambda c: pl.BlockSpec((tc, c, lanes), rev_t,
                                    memory_space=pltpu.VMEM)
     out = lambda c: jax.ShapeDtypeStruct((t_pad, c, b_pad), u_f.dtype)
     cb_shape = jax.ShapeDtypeStruct((n_chunks, hdim, b_pad), u_f.dtype)
@@ -292,18 +305,18 @@ def _lay0_fwd_impl(u_f, u_r, vb, interpret):
         in_specs=[
             blk(gh),
             blk_r(gh),
-            pl.BlockSpec((8, hdim, LANE), lambda i, j: (0, 0, 0),
+            pl.BlockSpec((8, hdim, lanes), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             blk(hdim), blk_r(hdim), blk(hdim), blk_r(hdim),
-            pl.BlockSpec((1, hdim, LANE), cb_fwd, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hdim, LANE), cb_rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hdim, lanes), cb_fwd, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hdim, lanes), cb_rev, memory_space=pltpu.VMEM),
         ],
         out_shape=[out(hdim), out(hdim), out(hdim), out(hdim),
                    cb_shape, cb_shape],
-        scratch_shapes=[pltpu.VMEM((hdim, LANE), jnp.float32),
-                        pltpu.VMEM((hdim, LANE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((hdim, lanes), jnp.float32),
+                        pltpu.VMEM((hdim, lanes), jnp.float32)],
         interpret=interpret,
     )(u_fp, u_rp, vb)
     return (h_f[:t_len, :, :bsz], h_r[:t_len, :, :bsz],
@@ -319,10 +332,10 @@ def _lay0_vjp_bwd(interpret, residuals, cot):
     dh_f, dh_r = cot
     u_f, u_r, vb, c_f, c_r, cb_f, cb_r = residuals
     t_len, gh, bsz = u_f.shape
-    u_fp, u_rp, hdim, b_pad, t_pad, tc = _lay0_prep(u_f, u_r)
+    u_fp, u_rp, hdim, b_pad, t_pad, tc, lanes = _lay0_prep(u_f, u_r)
     dh_fp = _pad_to(_pad_to(dh_f, 2, b_pad), 0, t_pad)
     dh_rp = _pad_to(_pad_to(dh_r, 2, b_pad), 0, t_pad)
-    n_tiles, n_chunks = b_pad // LANE, t_pad // tc
+    n_tiles, n_chunks = b_pad // lanes, t_pad // tc
 
     def fwd_t(i, j):
         return (j, 0, i)
@@ -330,9 +343,9 @@ def _lay0_vjp_bwd(interpret, residuals, cot):
     def rev_t(i, j):
         return (n_chunks - 1 - j, 0, i)
 
-    blk = lambda c, m: pl.BlockSpec((tc, c, LANE), m,
+    blk = lambda c, m: pl.BlockSpec((tc, c, lanes), m,
                                     memory_space=pltpu.VMEM)
-    cb_blk = lambda m: pl.BlockSpec((1, hdim, LANE), m,
+    cb_blk = lambda m: pl.BlockSpec((1, hdim, lanes), m,
                                     memory_space=pltpu.VMEM)
     out = lambda c: jax.ShapeDtypeStruct((t_pad, c, b_pad), u_f.dtype)
 
@@ -341,7 +354,7 @@ def _lay0_vjp_bwd(interpret, residuals, cot):
         grid=(n_tiles, n_chunks),
         in_specs=[
             blk(gh, rev_t), blk(gh, fwd_t),
-            pl.BlockSpec((8, hdim, LANE), lambda i, j: (0, 0, 0),
+            pl.BlockSpec((8, hdim, lanes), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             blk(hdim, rev_t), blk(hdim, fwd_t),
             cb_blk(rev_t), cb_blk(fwd_t),
@@ -349,14 +362,14 @@ def _lay0_vjp_bwd(interpret, residuals, cot):
         ],
         out_specs=[
             blk(gh, rev_t), blk(gh, fwd_t),
-            pl.BlockSpec((8, hdim, LANE), lambda i, j: (0, 0, i),
+            pl.BlockSpec((8, hdim, lanes), lambda i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[out(gh), out(gh),
                    jax.ShapeDtypeStruct((8, hdim, b_pad), jnp.float32)],
-        scratch_shapes=[pltpu.VMEM((hdim, LANE), jnp.float32),
-                        pltpu.VMEM((hdim, LANE), jnp.float32),
-                        pltpu.VMEM((8, hdim, LANE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((hdim, lanes), jnp.float32),
+                        pltpu.VMEM((hdim, lanes), jnp.float32),
+                        pltpu.VMEM((8, hdim, lanes), jnp.float32)],
         interpret=interpret,
     )(u_fp, u_rp, vb, c_f, c_r, cb_f, cb_r, dh_fp, dh_rp)
 
@@ -365,7 +378,7 @@ def _lay0_vjp_bwd(interpret, residuals, cot):
     # broadcast-AD sum-over-lanes exact.
     dvb_sum = jnp.sum(dvb[..., :bsz], axis=-1)  # (8, H)
     dvb_full = jnp.pad(
-        dvb_sum[:, :, None], ((0, 0), (0, 0), (0, LANE - 1))
+        dvb_sum[:, :, None], ((0, 0), (0, 0), (0, lanes - 1))
     ).astype(vb.dtype)
     return (du_f[:t_len, :, :bsz], du_r[:t_len, :, :bsz], dvb_full)
 
@@ -552,13 +565,14 @@ def _hid_bwd_kernel(xfj_ref, xrj_ref, xfr_ref, xrr_ref, wt_ref,
 
 def _hid_prep(x_f, x_r):
     t_len, hdim, bsz = x_f.shape
+    lanes = _pick_lanes(bsz, x_f.dtype.itemsize)
     # bwd-dominant per-row traffic: x (4H in) + c (2H) + dh (2H) + dx (4H).
-    tc = _pick_chunk(12 * hdim * LANE * x_f.dtype.itemsize)
-    b_pad = _round_up(bsz, LANE)
+    tc = _pick_chunk(12 * hdim * lanes * x_f.dtype.itemsize)
+    b_pad = _round_up(bsz, lanes)
     t_pad = _round_up(t_len, tc)
     x_fp = _pad_to(_pad_to(x_f, 2, b_pad), 0, t_pad)
     x_rp = _pad_to(_pad_to(x_r, 2, b_pad), 0, t_pad)
-    return x_fp, x_rp, hdim, b_pad, t_pad, tc
+    return x_fp, x_rp, hdim, b_pad, t_pad, tc, lanes
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
@@ -580,8 +594,8 @@ def sru_hidden_layer(x_f, x_r, wt, vb, interpret=False):
 
 def _hid_fwd_impl(x_f, x_r, wt, vb, interpret):
     t_len, hdim, bsz = x_f.shape
-    x_fp, x_rp, hdim, b_pad, t_pad, tc = _hid_prep(x_f, x_r)
-    n_tiles, n_chunks = b_pad // LANE, t_pad // tc
+    x_fp, x_rp, hdim, b_pad, t_pad, tc, lanes = _hid_prep(x_f, x_r)
+    n_tiles, n_chunks = b_pad // lanes, t_pad // tc
 
     def fwd_t(i, j):
         return (j, 0, i)
@@ -589,7 +603,7 @@ def _hid_fwd_impl(x_f, x_r, wt, vb, interpret):
     def rev_t(i, j):
         return (n_chunks - 1 - j, 0, i)
 
-    blk = lambda m: pl.BlockSpec((tc, hdim, LANE), m,
+    blk = lambda m: pl.BlockSpec((tc, hdim, lanes), m,
                                  memory_space=pltpu.VMEM)
     out = jax.ShapeDtypeStruct((t_pad, hdim, b_pad), x_f.dtype)
     cb_shape = jax.ShapeDtypeStruct((n_chunks, hdim, b_pad), x_f.dtype)
@@ -601,17 +615,17 @@ def _hid_fwd_impl(x_f, x_r, wt, vb, interpret):
             blk(fwd_t), blk(fwd_t), blk(rev_t), blk(rev_t),
             pl.BlockSpec(wt.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, hdim, LANE), lambda i, j: (0, 0, 0),
+            pl.BlockSpec((8, hdim, lanes), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
             blk(fwd_t), blk(rev_t), blk(fwd_t), blk(rev_t),
-            pl.BlockSpec((1, hdim, LANE), fwd_t, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hdim, LANE), rev_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hdim, lanes), fwd_t, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hdim, lanes), rev_t, memory_space=pltpu.VMEM),
         ],
         out_shape=[out, out, out, out, cb_shape, cb_shape],
-        scratch_shapes=[pltpu.VMEM((hdim, LANE), jnp.float32),
-                        pltpu.VMEM((hdim, LANE), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((hdim, lanes), jnp.float32),
+                        pltpu.VMEM((hdim, lanes), jnp.float32)],
         interpret=interpret,
     )(x_fp, x_rp, x_fp, x_rp, wt, vb)
     return (h_f[:t_len, :, :bsz], h_r[:t_len, :, :bsz],
@@ -628,10 +642,10 @@ def _hid_vjp_bwd(interpret, residuals, cot):
     dh_f, dh_r = cot
     x_f, x_r, wt, vb, c_f, c_r, cb_f, cb_r = residuals
     t_len, hdim, bsz = x_f.shape
-    x_fp, x_rp, hdim, b_pad, t_pad, tc = _hid_prep(x_f, x_r)
+    x_fp, x_rp, hdim, b_pad, t_pad, tc, lanes = _hid_prep(x_f, x_r)
     dh_fp = _pad_to(_pad_to(dh_f, 2, b_pad), 0, t_pad)
     dh_rp = _pad_to(_pad_to(dh_r, 2, b_pad), 0, t_pad)
-    n_tiles, n_chunks = b_pad // LANE, t_pad // tc
+    n_tiles, n_chunks = b_pad // lanes, t_pad // tc
     w_f = wt[0:3 * hdim].T  # (2H, 3H) per-direction natural-layout weights
     w_r = wt[3 * hdim:].T
 
@@ -641,11 +655,11 @@ def _hid_vjp_bwd(interpret, residuals, cot):
     def rev_t(i, j):
         return (n_chunks - 1 - j, 0, i)
 
-    blk = lambda m: pl.BlockSpec((tc, hdim, LANE), m,
+    blk = lambda m: pl.BlockSpec((tc, hdim, lanes), m,
                                  memory_space=pltpu.VMEM)
-    blk2 = lambda m: pl.BlockSpec((tc, 2 * hdim, LANE), m,
+    blk2 = lambda m: pl.BlockSpec((tc, 2 * hdim, lanes), m,
                                   memory_space=pltpu.VMEM)
-    cb_blk = lambda m: pl.BlockSpec((1, hdim, LANE), m,
+    cb_blk = lambda m: pl.BlockSpec((1, hdim, lanes), m,
                                     memory_space=pltpu.VMEM)
     out2 = jax.ShapeDtypeStruct((t_pad, 2 * hdim, b_pad), x_f.dtype)
 
@@ -660,7 +674,7 @@ def _hid_vjp_bwd(interpret, residuals, cot):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(w_r.shape, lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, hdim, LANE), lambda i, j: (0, 0, 0),
+            pl.BlockSpec((8, hdim, lanes), lambda i, j: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             blk(rev_t), blk(fwd_t),
             cb_blk(rev_t), cb_blk(fwd_t),
@@ -672,7 +686,7 @@ def _hid_vjp_bwd(interpret, residuals, cot):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 2 * hdim, 3 * hdim), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, hdim, LANE), lambda i, j: (0, 0, i),
+            pl.BlockSpec((8, hdim, lanes), lambda i, j: (0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
@@ -684,11 +698,11 @@ def _hid_vjp_bwd(interpret, residuals, cot):
             jax.ShapeDtypeStruct((8, hdim, b_pad), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((hdim, LANE), jnp.float32),
-            pltpu.VMEM((hdim, LANE), jnp.float32),
+            pltpu.VMEM((hdim, lanes), jnp.float32),
+            pltpu.VMEM((hdim, lanes), jnp.float32),
             pltpu.VMEM((2 * hdim, 3 * hdim), jnp.float32),
             pltpu.VMEM((2 * hdim, 3 * hdim), jnp.float32),
-            pltpu.VMEM((8, hdim, LANE), jnp.float32),
+            pltpu.VMEM((8, hdim, lanes), jnp.float32),
         ],
         interpret=interpret,
     )(x_fp, x_rp, x_fp, x_rp, wt, w_f, w_r, vb, c_f, c_r, cb_f, cb_r,
@@ -704,7 +718,7 @@ def _hid_vjp_bwd(interpret, residuals, cot):
     # lane-0 trick: see _lay0_vjp_bwd.
     dvb_sum = jnp.sum(dvb[..., :bsz], axis=-1)
     dvb_full = jnp.pad(
-        dvb_sum[:, :, None], ((0, 0), (0, 0), (0, LANE - 1))
+        dvb_sum[:, :, None], ((0, 0), (0, 0), (0, lanes - 1))
     ).astype(vb.dtype)
     return dx_f, dx_r, dwt, dvb_full
 
@@ -755,16 +769,24 @@ def sru_stack_tpu(x, weights, weight_cs, biases, hidden, window=None,
         raise NotImplementedError(
             "fused stack expects a projected highway on layer 0 (k=4)"
         )
+
+    # The kernels' block lane width widens with the folded batch (wider
+    # blocks -> fewer sequential grid tiles on the single TensorCore); vb
+    # must be replicated to the same width the preps will pick.
+    lanes = _pick_lanes(bsz, u.dtype.itemsize)
+
     # (B, L, 8H) -> (L, 8H, B): the stack's single entry transpose.
     u_t = u.transpose(1, 2, 0)
-    vb0 = _vb_pack(weight_cs[0], biases[0]).astype(u.dtype)
+    vb0 = _vb_pack(weight_cs[0], biases[0], lanes).astype(u.dtype)
     h_f, h_r = sru_dual_recurrence(
         u_t[:, : 4 * hidden], u_t[:, 4 * hidden :], vb0, interpret
     )
 
     for layer in range(1, len(weights)):
         wt = weights[layer].T.astype(h_f.dtype)  # (6H, 2H)
-        vb = _vb_pack(weight_cs[layer], biases[layer]).astype(h_f.dtype)
+        vb = _vb_pack(weight_cs[layer], biases[layer], lanes).astype(
+            h_f.dtype
+        )
         h_f, h_r = sru_hidden_layer(h_f, h_r, wt, vb, interpret)
 
     # (L, H, B) pair -> (B, L, 2H): the single exit transpose.
