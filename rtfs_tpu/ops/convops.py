@@ -69,11 +69,30 @@ def conv(
     else:
         pads = [(p, p) if isinstance(p, int) else tuple(p) for p in padding]
 
+    x = x.astype(w.dtype)  # mixed-precision: compute in the param dtype
+
+    # Pointwise (1x1, stride 1, dense) convs lower as plain matmuls: XLA's
+    # classic conv emitter picks windowed iteration even for 1x1 backward
+    # passes (profiled at >10x off the HBM roofline for the RTFS
+    # projection convs); dot_general fwd AND its transpose-dW/dx are
+    # straight MXU GEMMs.
+    if (
+        groups == 1
+        and all(k == 1 for k in kernel)
+        and all(s == 1 for s in stride)
+        and all(p == (0, 0) for p in pads)
+    ):
+        out = jnp.einsum(
+            "b...i,io->b...o", x, w.reshape(w.shape[-2], w.shape[-1])
+        )
+        if bias is not None:
+            out = out + bias
+        return out
+
     spatial = "".join("DHW"[3 - nd + i] for i in range(nd))
     dn = jax.lax.conv_dimension_numbers(
         x.shape, w.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
     )
-    x = x.astype(w.dtype)  # mixed-precision: compute in the param dtype
     out = jax.lax.conv_general_dilated(
         x,
         w,
