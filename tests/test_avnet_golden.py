@@ -55,6 +55,9 @@ def _build_reference(config_name, shrink_repeats=None):
     "config_name,shrink",
     [
         ("lrs2_RTFSNet_4_layer", None),
+        # the BASELINE.md north star names RTFS-Net-12 specifically: full
+        # 12 shared repeats, no shrink
+        ("lrs2_RTFSNet_12_layer", None),
         ("lrs2_TDFNet_16_3", (3, 2)),   # shrink repeats for CPU speed
         ("lrs2_CTCNet_16_layer", (3, 2)),
     ],
