@@ -681,4 +681,8 @@ class AVNet(nn.Module):
         separated = self.mask_generator(refined, embedding, train)
         if dtype != jnp.float32:
             separated = separated.astype(jnp.float32)
-        return self.decoder(separated, length, train)
+        out = self.decoder(separated, length, train)
+        # uniform f32 waveform interface: ConvolutionalDecoder computes in
+        # the param dtype, so bf16 models would otherwise emit bf16 wavs
+        # (STFTDecoder models already synthesize in f32)
+        return out.astype(jnp.float32)
