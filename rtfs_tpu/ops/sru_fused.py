@@ -27,13 +27,17 @@ This module removes all of them:
   reversed, rev-direction gradient walks them forward) and accumulates
   dW / dv / db in VMEM scratch, flushed on each stream's last chunk.
 
-Zero padding (time to a multiple of T_CHUNK, batch to LANE) is safe in
-both directions: padded U rows are exactly zero (x padding is zero and the
-projection is linear), so c stays 0 through padded steps and gradient
-contributions from padded dh rows vanish.
+Zero padding (time to a multiple of the chunk, batch to the lane width) is
+safe in both directions: padded U rows are exactly zero (x padding is zero
+and the projection is linear), so c stays 0 through padded steps and
+gradient contributions from padded dh rows vanish.
 
 Layouts inside kernels: time is the leading (grid-blocked) axis, channels
-on sublanes, the folded batch on the 128-wide lane axis.
+on sublanes, the folded batch on the lane axis. The block lane width
+widens with the folded batch (``_pick_lanes``: 512 lanes bf16 / 256 f32) —
+batch-lane grid tiles execute sequentially on the single TensorCore, so
+wider blocks shorten the serial chain; time chunks shrink adaptively
+(``_pick_chunk``) to keep the backward kernels inside the VMEM budget.
 """
 
 from __future__ import annotations
