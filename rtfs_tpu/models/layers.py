@@ -131,11 +131,15 @@ class LayerNormalization4D(nn.Module):
         else:
             axes = (-1,)
             pshape = (1, 1, 1, self.features) if x.ndim == 4 else (1, 1, self.features)
-        mean = jnp.mean(x, axis=axes, keepdims=True)
-        var = jnp.mean(jnp.square(x - mean), axis=axes, keepdims=True)
+        # single-pass sibling reductions, f32 stats (see GlobalLayerNorm)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        sq = jnp.mean(jnp.square(xf), axis=axes, keepdims=True)
+        var = jnp.maximum(sq - jnp.square(mean), 0.0)
         gamma = self.param("scale", nn.initializers.ones, pshape)
         beta = self.param("bias", nn.initializers.zeros, pshape)
-        return (x - mean) * jax.lax.rsqrt(var + self.eps) * gamma + beta
+        norm = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
+        return norm * gamma + beta
 
 
 class BatchNorm(nn.Module):
