@@ -21,27 +21,32 @@ CSV_COLUMNS = ["snt_id", "sdr", "sdr_i", "si-snr", "si-snr_i", "pesq", "stoi"]
 
 
 def _pesq_backend():
+    """Returns (name, fn). The name is recorded into every results file so
+    ITU-conformant (pypesq) and behavioral (pesq_np) scores are never
+    silently mixed downstream."""
     try:
         from pypesq import pesq as _pesq
 
-        return lambda est, clean, sr: float(_pesq(est, clean, sr))
+        return "pypesq", lambda est, clean, sr: float(_pesq(est, clean, sr))
     except ImportError:
         from .pesq_np import pesq as _pesq
 
         # pesq_np signature is (ref, deg); pypesq's is (deg, ref)-ish via
         # allwrapper call order (est, clean) — map explicitly
-        return lambda est, clean, sr: float(_pesq(clean, est, sr))
+        return "pesq_np", lambda est, clean, sr: float(_pesq(clean, est, sr))
 
 
 def _stoi_backend():
     try:
         from pystoi import stoi as _stoi
 
-        return lambda clean, est, sr: float(_stoi(clean, est, sr, extended=False))
+        return "pystoi", lambda clean, est, sr: float(
+            _stoi(clean, est, sr, extended=False)
+        )
     except ImportError:
         from .stoi_np import stoi as _stoi
 
-        return lambda clean, est, sr: float(_stoi(clean, est, sr))
+        return "stoi_np", lambda clean, est, sr: float(_stoi(clean, est, sr))
 
 
 class ALLMetricsTracker:
@@ -55,8 +60,8 @@ class ALLMetricsTracker:
             self._csv = open(save_file, "w", newline="")
             self._writer = csv.DictWriter(self._csv, fieldnames=CSV_COLUMNS)
             self._writer.writeheader()
-        self._pesq = _pesq_backend()
-        self._stoi = _stoi_backend()
+        self.pesq_backend, self._pesq = _pesq_backend()
+        self.stoi_backend, self._stoi = _stoi_backend()
 
     def __call__(self, mix, clean, estimate, key: str):
         """Track one utterance.
@@ -112,4 +117,11 @@ class ALLMetricsTracker:
             mean, std = self.get_mean(), self.get_std()
             self._writer.writerow({"snt_id": "avg", **mean})
             self._writer.writerow({"snt_id": "std", **std})
+            # provenance footer: which backend produced the pesq/stoi
+            # columns (conformant pypesq/pystoi vs the bundled behavioral
+            # numpy implementations) — see VALIDATION SCOPE in pesq_np.py
+            self._writer.writerow({
+                "snt_id": "backend", "pesq": self.pesq_backend,
+                "stoi": self.stoi_backend,
+            })
             self._csv.close()

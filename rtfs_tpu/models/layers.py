@@ -98,15 +98,24 @@ class GlobalLayerNorm(nn.Module):
         # over the same operand, so XLA fuses them into ONE sweep of the
         # tensor (the dependent two-pass form costs an extra full HBM read
         # per gLN — profiled at ~1/3 of the norm's cost at RTFS sizes).
-        # Stats accumulate in f32; TPU tree-reductions keep the
-        # E[x^2]-E[x]^2 cancellation within golden-test tolerance.
+        # The raw E[x^2]-E[x]^2 form loses ~2*log2(|mean|/std) bits to
+        # cancellation under a large DC offset, so the sweep runs on
+        # SHIFTED data: subtracting one in-group sample as a provisional
+        # center makes the cancellation scale with that sample's deviation
+        # (O(std)) instead of the absolute mean — stable at any offset for
+        # the cost of a fused broadcast-subtract (still one HBM read).
+        # Pinned vs torch two-pass at 1e3-sigma offset in tests/test_norms.py.
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=axes, keepdims=True)
-        sq = jnp.mean(jnp.square(xf), axis=axes, keepdims=True)
-        var = jnp.maximum(sq - jnp.square(mean), 0.0)
+        c = jax.lax.stop_gradient(
+            xf[(slice(None),) + (0,) * (x.ndim - 1)]
+        ).reshape((-1,) + (1,) * (x.ndim - 1))
+        xs = xf - c
+        mean_s = jnp.mean(xs, axis=axes, keepdims=True)
+        sq = jnp.mean(jnp.square(xs), axis=axes, keepdims=True)
+        var = jnp.maximum(sq - jnp.square(mean_s), 0.0)
         gamma = self.param("scale", nn.initializers.ones, (self.features,))
         beta = self.param("bias", nn.initializers.zeros, (self.features,))
-        norm = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
+        norm = ((xs - mean_s) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
         return norm * gamma + beta
 
 
@@ -131,14 +140,21 @@ class LayerNormalization4D(nn.Module):
         else:
             axes = (-1,)
             pshape = (1, 1, 1, self.features) if x.ndim == 4 else (1, 1, self.features)
-        # single-pass sibling reductions, f32 stats (see GlobalLayerNorm)
+        # shifted single-pass sibling reductions, f32 stats — see
+        # GlobalLayerNorm for the cancellation analysis
         xf = x.astype(jnp.float32)
-        mean = jnp.mean(xf, axis=axes, keepdims=True)
-        sq = jnp.mean(jnp.square(xf), axis=axes, keepdims=True)
-        var = jnp.maximum(sq - jnp.square(mean), 0.0)
+        idx = tuple(
+            slice(0, 1) if (d - x.ndim) in axes else slice(None)
+            for d in range(x.ndim)
+        )
+        c = jax.lax.stop_gradient(xf[idx])
+        xs = xf - c
+        mean_s = jnp.mean(xs, axis=axes, keepdims=True)
+        sq = jnp.mean(jnp.square(xs), axis=axes, keepdims=True)
+        var = jnp.maximum(sq - jnp.square(mean_s), 0.0)
         gamma = self.param("scale", nn.initializers.ones, pshape)
         beta = self.param("bias", nn.initializers.zeros, pshape)
-        norm = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
+        norm = ((xs - mean_s) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
         return norm * gamma + beta
 
 

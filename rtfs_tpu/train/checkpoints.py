@@ -108,6 +108,8 @@ def export_model(path: str, model_conf: Dict[str, Any], params, batch_stats,
     import jax as _jax
     import optax as _optax
 
+    from ..utils.code_version import code_version
+
     bundle = {
         "model_name": "AVNet",
         "model_args": model_conf,
@@ -126,6 +128,9 @@ def export_model(path: str, model_conf: Dict[str, Any], params, batch_stats,
                 "flax": flax.__version__,
                 "optax": _optax.__version__,
             },
+            # reference pins code state by snapshotting src/models into the
+            # exp dir (train.py:95); we pin the framework git SHA instead
+            "code_version": code_version(),
             **(infos or {}),
         },
     }

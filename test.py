@@ -34,6 +34,11 @@ def main(args):
 
     bundle_path = args.model or os.path.join(exp_dir, "best_model.bin")
     bundle = load_exported(bundle_path)
+    from rtfs_tpu.utils.code_version import check_code_version
+
+    warn = check_code_version(bundle.get("infos", {}))
+    if warn:
+        print(f"WARNING: {warn}")
     state = bundle["state"]
     variables = {
         "params": state["params"],
@@ -98,7 +103,12 @@ def main(args):
         w.writerow(["metric", "mean", "std"])
         for k in mean:
             w.writerow([k, mean[k], std[k]])
-    print("final:", {k: round(v, 3) for k, v in mean.items()})
+        # backend provenance: conformant (pypesq/pystoi) vs bundled
+        # behavioral numpy implementations — never silently mixed
+        w.writerow(["pesq_backend", tracker.pesq_backend, ""])
+        w.writerow(["stoi_backend", tracker.stoi_backend, ""])
+    print("final:", {k: round(v, 3) for k, v in mean.items()},
+          f"[pesq={tracker.pesq_backend}, stoi={tracker.stoi_backend}]")
 
 
 if __name__ == "__main__":

