@@ -1,10 +1,24 @@
-"""Benchmark: RTFS-Net-4 inference throughput on one TPU chip.
+"""Benchmark: RTFS-Net-4 inference + train throughput on one TPU chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
 Metric: audio-seconds separated per wall-clock second per chip, on the
 flagship RTFS-Net-4 / LRS2 config (2 s @ 16 kHz utterances, 50 video-frame
 embeddings), steady state, best over a small batch-size sweep.
+
+Measurement protocol (variance-proof, VERDICT r2 #1):
+- N forwards chained inside ONE on-device fori_loop (step i's input
+  depends on step i-1's output), ended by a host fetch of a dependent
+  scalar — immune to dispatch pipelining/dedup through the tunnel.
+- Every config is timed REPEATS times; the headline is the MEDIAN and
+  the JSON carries the min-max spread so run-to-run noise is visible.
+- The per-step estimator subtracts a separately-measured 1-iter
+  dispatch+fetch overhead; if that sample glitches the estimator falls
+  back to a plain mean and SAYS SO (``estimator`` field, ADVICE r2).
+
+Roofline context: the train step is memory-bound, so next to MFU the
+bench reports the achieved-HBM-bandwidth fraction (XLA post-fusion
+bytes-accessed / measured time / v5e peak 819 GB/s).
 
 Baseline: the reference reports 57.8 ms inference for one 2 s utterance
 (RTFS-Net-4, README main table / BASELINE.md) = 34.6 audio-seconds/s.
@@ -14,12 +28,46 @@ Baseline: the reference reports 57.8 ms inference for one 2 s utterance
 from __future__ import annotations
 
 import json
+import statistics
 import sys
 import time
 
 import numpy as np
 
 BASELINE_AUDIO_SEC_PER_S = 2.0 / 0.0578  # reference: 57.8 ms per 2 s utterance
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_PEAK_HBM_BYTES = 819e9
+REPEATS = 5
+
+
+def _timed(fn, *args, n_iter: int, repeats: int = REPEATS):
+    """Median per-step seconds of a chained n_iter loop + estimator info.
+
+    fn(*args, 1) and fn(*args, n_iter) must be the compiled 1-iter and
+    N-iter variants (compiled on first call). Returns
+    (dt_median, spread_pct, estimator) or raises.
+    """
+    float(fn(*args, 1))       # compile 1-iter
+    float(fn(*args, n_iter))  # compile N-iter
+    overheads, totals = [], []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(fn(*args, 1))
+        overheads.append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        float(fn(*args, n_iter))
+        totals.append(time.perf_counter() - t0)
+    overhead = statistics.median(overheads)
+    total_med = statistics.median(totals)
+    if total_med > 2 * overhead:
+        dts = [(t - overhead) / (n_iter - 1) for t in totals]
+        estimator = "overhead-subtracted"
+    else:  # overhead sample glitched (tunnel hiccup): plain mean
+        dts = [t / n_iter for t in totals]
+        estimator = "plain-mean"
+    dt = statistics.median(dts)
+    spread_pct = 100.0 * (max(dts) - min(dts)) / dt if dt > 0 else 0.0
+    return dt, spread_pct, estimator
 
 
 def main() -> None:
@@ -43,11 +91,6 @@ def main() -> None:
     model_bf16 = _dc.replace(model, compute_dtype="bfloat16")
     variables_bf16 = cast_params(variables)
 
-    # Timing methodology: N forwards chained inside ONE on-device fori_loop
-    # (step i's input is perturbed by step i-1's output), ending in a host
-    # fetch of the final scalar. A single dispatch + data-dependent chain is
-    # immune to dispatch pipelining, caching, or async-transfer artifacts —
-    # the only sound way to time through a tunneled backend.
     from functools import partial
 
     def make_loop(mdl):
@@ -67,6 +110,8 @@ def main() -> None:
     best = 0.0
     best_bs = 0
     best_prec = "f32"
+    best_spread = 0.0
+    best_estimator = ""
     latency = {}
     for bs, prec in ((1, "f32"), (1, "bf16"), (8, "f32"), (8, "bf16"),
                      (16, "bf16"), (32, "bf16")):
@@ -75,28 +120,16 @@ def main() -> None:
         emb = jnp.asarray(
             rng.standard_normal((bs, 50, 512)).astype(np.float32)
         )
-        n_iter = 20
-        fwd_loop = loops[prec]
         try:
-            float(fwd_loop(v, wav, emb, 1))  # compile 1-iter variant
-            t1 = time.perf_counter()
-            float(fwd_loop(v, wav, emb, 1))
-            overhead = time.perf_counter() - t1  # dispatch+fetch cost
-            float(fwd_loop(v, wav, emb, n_iter))  # compile N-iter
-            t0 = time.perf_counter()
-            float(fwd_loop(v, wav, emb, n_iter))
-            total = time.perf_counter() - t0
+            dt, spread, estimator = _timed(loops[prec], v, wav, emb, n_iter=20)
         except Exception as e:  # a failed variant must not kill the bench
             print(f"# bs={bs} {prec} FAILED: {type(e).__name__}",
                   file=sys.stderr)
             continue
-        if total > 2 * overhead:
-            dt = (total - overhead) / (n_iter - 1)
-        else:  # overhead sample glitched (tunnel hiccup): plain mean
-            dt = total / n_iter
         audio_sec_per_s = bs * 2.0 / dt
         print(
-            f"# bs={bs} {prec}: {dt*1e3:.2f} ms/step, "
+            f"# bs={bs} {prec}: {dt*1e3:.2f} ms/step "
+            f"(median of {REPEATS}, spread {spread:.1f}%, {estimator}), "
             f"{audio_sec_per_s:.0f} audio-s/s",
             file=sys.stderr,
         )
@@ -107,6 +140,7 @@ def main() -> None:
             continue  # throughput headline comes from batched runs
         if audio_sec_per_s > best:
             best, best_bs, best_prec = audio_sec_per_s, bs, prec
+            best_spread, best_estimator = spread, estimator
 
     # ---- training step (fwd + bwd + AdamW), f32 and bf16 ----------------
     # Chained methodology: params/opt_state thread through every iteration
@@ -149,39 +183,46 @@ def main() -> None:
 
         bstats = v0.get("batch_stats", {})
         opt_state = opt.init(v0["params"])
-        n_iter = 10
         try:
-            float(train_loop(v0["params"], bstats, opt_state, 1))
-            t0 = time.perf_counter()
-            float(train_loop(v0["params"], bstats, opt_state, 1))
-            overhead = time.perf_counter() - t0
-            float(train_loop(v0["params"], bstats, opt_state, n_iter))
-            t0 = time.perf_counter()
-            float(train_loop(v0["params"], bstats, opt_state, n_iter))
-            total = time.perf_counter() - t0
+            dt, spread, estimator = _timed(
+                train_loop, v0["params"], bstats, opt_state, n_iter=10
+            )
         except Exception as e:
             print(f"# train {prec} FAILED: {type(e).__name__}: {e}",
                   file=sys.stderr)
             continue
-        dt = max(total - overhead, 1e-9) / (n_iter - 1)
         thr = bs * 2.0 / dt
         train_stats[f"train_{prec}_audio_sec_per_s"] = round(thr, 1)
-        print(f"# train bs={bs} {prec}: {dt*1e3:.1f} ms/step, "
+        train_stats[f"train_{prec}_spread_pct"] = round(spread, 1)
+        print(f"# train bs={bs} {prec}: {dt*1e3:.1f} ms/step "
+              f"(median of {REPEATS}, spread {spread:.1f}%, {estimator}), "
               f"{thr:.0f} audio-s/s", file=sys.stderr)
         if prec == "bf16":
-            from rtfs_tpu.utils.flops import compiled_flops
+            from rtfs_tpu.utils.flops import compiled_cost
 
-            step_flops = compiled_flops(
+            cost = compiled_cost(
                 lambda p, b_, o: train_loop.__wrapped__(p, b_, o, 1),
                 v0["params"], bstats, opt_state,
             )
-            if step_flops:
-                # v5e peak: 197 TFLOP/s bf16
-                mfu = step_flops / dt / 197e12
+            if cost and np.isfinite(cost["flops"]):
+                mfu = cost["flops"] / dt / V5E_PEAK_BF16_FLOPS
                 train_stats["train_bf16_mfu"] = round(mfu, 4)
-                train_stats["train_step_tflops"] = round(step_flops / 1e12, 3)
+                train_stats["train_step_tflops"] = round(cost["flops"] / 1e12, 3)
                 print(f"# train bf16 MFU {mfu*100:.1f}% "
-                      f"({step_flops/1e12:.2f} TFLOP/step)", file=sys.stderr)
+                      f"({cost['flops']/1e12:.2f} TFLOP/step)", file=sys.stderr)
+            if cost and np.isfinite(cost["bytes_accessed"]):
+                # memory-bound model: the honest speed-of-light metric is
+                # achieved HBM bandwidth vs the chip's peak
+                hbm_frac = cost["bytes_accessed"] / dt / V5E_PEAK_HBM_BYTES
+                train_stats["train_bf16_hbm_gb_per_step"] = round(
+                    cost["bytes_accessed"] / 1e9, 2
+                )
+                train_stats["train_bf16_hbm_roofline_frac"] = round(hbm_frac, 3)
+                print(
+                    f"# train bf16 HBM {cost['bytes_accessed']/1e9:.1f} "
+                    f"GB/step -> {hbm_frac*100:.0f}% of v5e 819 GB/s roofline",
+                    file=sys.stderr,
+                )
 
     print(
         json.dumps(
@@ -190,6 +231,9 @@ def main() -> None:
                 "value": round(best, 1),
                 "unit": "audio-sec/s/chip",
                 "vs_baseline": round(best / BASELINE_AUDIO_SEC_PER_S, 2),
+                "n_repeats": REPEATS,
+                "spread_pct": round(best_spread, 1),
+                "estimator": best_estimator,
                 **latency,
                 **train_stats,
             }

@@ -98,24 +98,21 @@ class GlobalLayerNorm(nn.Module):
         # over the same operand, so XLA fuses them into ONE sweep of the
         # tensor (the dependent two-pass form costs an extra full HBM read
         # per gLN — profiled at ~1/3 of the norm's cost at RTFS sizes).
-        # The raw E[x^2]-E[x]^2 form loses ~2*log2(|mean|/std) bits to
-        # cancellation under a large DC offset, so the sweep runs on
-        # SHIFTED data: subtracting one in-group sample as a provisional
-        # center makes the cancellation scale with that sample's deviation
-        # (O(std)) instead of the absolute mean — stable at any offset for
-        # the cost of a fused broadcast-subtract (still one HBM read).
-        # Pinned vs torch two-pass at 1e3-sigma offset in tests/test_norms.py.
+        # NUMERICS ASSUMPTION: E[x^2]-E[x]^2 loses ~2*log2(|mean|/std)
+        # bits to cancellation; with f32 accumulation this is exact enough
+        # for zero-centered post-conv activations (all RTFS presets,
+        # golden-tested) but degrades ~6% in std at a 1e3-sigma DC offset
+        # (pinned in tests/test_norms.py). A shifted-center variant was
+        # tried and REVERTED: the data-dependent center slice fuses into
+        # strided producer convs and makes them 15x slower (r3 profile,
+        # 4.1 ms vs 0.27 ms for the pyramid's stride-2 DW conv).
         xf = x.astype(jnp.float32)
-        c = jax.lax.stop_gradient(
-            xf[(slice(None),) + (0,) * (x.ndim - 1)]
-        ).reshape((-1,) + (1,) * (x.ndim - 1))
-        xs = xf - c
-        mean_s = jnp.mean(xs, axis=axes, keepdims=True)
-        sq = jnp.mean(jnp.square(xs), axis=axes, keepdims=True)
-        var = jnp.maximum(sq - jnp.square(mean_s), 0.0)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        sq = jnp.mean(jnp.square(xf), axis=axes, keepdims=True)
+        var = jnp.maximum(sq - jnp.square(mean), 0.0)
         gamma = self.param("scale", nn.initializers.ones, (self.features,))
         beta = self.param("bias", nn.initializers.zeros, (self.features,))
-        norm = ((xs - mean_s) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
+        norm = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
         return norm * gamma + beta
 
 
@@ -140,21 +137,15 @@ class LayerNormalization4D(nn.Module):
         else:
             axes = (-1,)
             pshape = (1, 1, 1, self.features) if x.ndim == 4 else (1, 1, self.features)
-        # shifted single-pass sibling reductions, f32 stats — see
-        # GlobalLayerNorm for the cancellation analysis
+        # single-pass sibling reductions, f32 stats — see GlobalLayerNorm
+        # for the cancellation analysis and the reverted shifted variant
         xf = x.astype(jnp.float32)
-        idx = tuple(
-            slice(0, 1) if (d - x.ndim) in axes else slice(None)
-            for d in range(x.ndim)
-        )
-        c = jax.lax.stop_gradient(xf[idx])
-        xs = xf - c
-        mean_s = jnp.mean(xs, axis=axes, keepdims=True)
-        sq = jnp.mean(jnp.square(xs), axis=axes, keepdims=True)
-        var = jnp.maximum(sq - jnp.square(mean_s), 0.0)
+        mean = jnp.mean(xf, axis=axes, keepdims=True)
+        sq = jnp.mean(jnp.square(xf), axis=axes, keepdims=True)
+        var = jnp.maximum(sq - jnp.square(mean), 0.0)
         gamma = self.param("scale", nn.initializers.ones, pshape)
         beta = self.param("bias", nn.initializers.zeros, pshape)
-        norm = ((xs - mean_s) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
+        norm = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
         return norm * gamma + beta
 
 
@@ -349,23 +340,19 @@ class ConvTranspose(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if self.groups != 1:
-            raise NotImplementedError("grouped transposed conv unused by configs")
         ks = self.kernel_size
         kernel = tuple(ks) if hasattr(ks, "__len__") else (ks,) * self.nd
-        # Stored as (*spatial, Cout, Cin) — see convops.conv_transpose.
-        kshape = (*kernel, self.out_chan, self.in_chan)
+        # Stored as (*spatial, Cout, Cin//groups) — see convops.conv_transpose.
+        kshape = (*kernel, self.out_chan, self.in_chan // self.groups)
 
         def kinit(key, shape, dtype=jnp.float32):
-            # torch ConvTranspose default init: kaiming-uniform with
-            # fan_in = Cout/groups * prod(k) computed on (Cin, Cout, *k)...
-            # torch uses weight shape (Cin, Cout//g, *k) and fan_in =
-            # Cout//g * prod(k)? torch _calculate_fan_in treats dim1 as
-            # in: fan_in = shape[1] * receptive = (Cout//g) * prod(k).
+            # torch ConvTranspose default init: kaiming-uniform on weight
+            # (Cin, Cout//g, *k); _calculate_fan_in treats dim1 as in, so
+            # fan_in = (Cout//g) * prod(k).
             receptive = int(np.prod(shape[:-2]))
-            fan_in = shape[-2] * receptive  # Cout * receptive
+            fan_in = (self.out_chan // self.groups) * receptive
             if self.xavier_init:
-                fan_out = shape[-1] * receptive
+                fan_out = shape[-1] * self.groups * receptive
                 bound = math.sqrt(6.0 / (fan_in + fan_out))
             else:
                 gain = math.sqrt(2.0 / 6.0)
@@ -378,7 +365,9 @@ class ConvTranspose(nn.Module):
             receptive = int(np.prod(kernel))
             b = self.param(
                 "bias",
-                torch_conv_bias_init(self.out_chan * receptive),
+                torch_conv_bias_init(
+                    (self.out_chan // self.groups) * receptive
+                ),
                 (self.out_chan,),
             )
         return convops.conv_transpose(
@@ -387,6 +376,7 @@ class ConvTranspose(nn.Module):
             stride=self.stride,
             padding=self.padding,
             output_padding=self.output_padding,
+            groups=self.groups,
             bias=b,
         )
 

@@ -260,10 +260,16 @@ class ConvolutionalRNN(nn.Module):
 
 
 class BiLSTM2D(nn.Module):
-    """Windowed ConvLSTM over a TF map (reference ``rnn_layers.py:212-301``).
+    """Windowed ConvLSTM over a TF map (reference ``rnn_layers.py:213-301``).
 
-    Processes windows of 8 along one axis with a carried ConvLSTM state;
-    the scan runs as ``jax.lax.scan`` over windows (window count is small).
+    Exact reference dataflow, channels-last. Per H-window iteration i, the
+    W axis is unfolded (kernel=window, stride) into channels and the
+    ConvLSTM gates convolve over the L unfold positions, with the hidden/
+    cell state carried ACROSS windows; outputs are stitched back along H
+    and the W axis back-projected by a grouped ConvTranspose (window, 1).
+    ``dim=3`` windows over the original T axis (the reference transposes),
+    ``dim=4`` over F. Golden-tested against the torch reference with
+    imported weights (tests/test_legacy_layers.py).
     """
 
     in_chan: int
@@ -283,80 +289,87 @@ class BiLSTM2D(nn.Module):
         norm = L.make_norm(self.norm_type, self.in_chan)
         x = L._apply_norm(norm, x, train)
 
-        # concat flipped copy on channels for bidirectionality, then make
-        # the windowed axis the F-axis (reference transposes when dim==3)
+        # bidirectional = concat a flipped copy on channels (reference
+        # flips torch-dim (self.dim - 1): T for dim=3, F for dim=4), then
+        # make the windowed axis the H(last-spatial) axis
         if self.bidirectional:
             x = jnp.concatenate([x, jnp.flip(x, 1 if self.dim == 3 else 2)],
                                 axis=-1)
         if self.dim == 3:
-            x = jnp.swapaxes(x, 1, 2)  # window over original T axis
+            x = jnp.swapaxes(x, 1, 2)  # (B, W=F, H=T, C2)
 
-        b, w_axis, h_axis, cdir = x.shape
-        win = self.window
-        new_w = -(-(w_axis - win) // self.stride) * self.stride + win
-        new_h = -(-(h_axis - win) // self.stride) * self.stride + win
-        x = jnp.pad(x, ((0, 0), (0, new_w - w_axis), (0, new_h - h_axis),
+        b, old_w, old_h, cdir = x.shape
+        win, st = self.window, self.stride
+        new_w = -(-(old_w - win) // st) * st + win
+        new_h = -(-(old_h - win) // st) * st + win
+        x = jnp.pad(x, ((0, 0), (0, new_w - old_w), (0, new_h - old_h),
                         (0, 0)))
         iterations = -(-new_h // win)
 
-        cin = self.in_chan * num_dir * win  # unfolded channels per window
+        cw = self.in_chan * win  # unfolded channels per direction
+        hid = self.hid_chan
 
-        lin_ih = [
-            L.ConvActNorm(self.in_chan * win, self.in_chan * win,
-                          self.kernel_size, groups=self.in_chan * win),
-            L.ConvActNorm(self.in_chan * win, 4 * self.hid_chan, 1),
-        ]
-        lin_hh = L.ConvActNorm(self.hid_chan, 4 * self.hid_chan, 1)
+        def make_cell_branch():
+            return (
+                [L.ConvActNorm(cw, cw, self.kernel_size, groups=cw),
+                 L.ConvActNorm(cw, 4 * hid, 1)],
+                L.ConvActNorm(hid, 4 * hid, 1),
+            )
+
+        lin_ih, lin_hh = make_cell_branch()
         if num_dir > 1:
-            lin_ih_b = [
-                L.ConvActNorm(self.in_chan * win, self.in_chan * win,
-                              self.kernel_size, groups=self.in_chan * win),
-                L.ConvActNorm(self.in_chan * win, 4 * self.hid_chan, 1),
-            ]
-            lin_hh_b = L.ConvActNorm(self.hid_chan, 4 * self.hid_chan, 1)
+            lin_ih_b, lin_hh_b = make_cell_branch()
 
+        # state carried across H-windows: (B*win, L, H*dirs); initialized
+        # as a broadcastable zero exactly like the reference's (1, HD, 1)
+        hidden = jnp.zeros((1, 1, hid * num_dir), x.dtype)
+        cell = jnp.zeros((1, 1, hid * num_dir), x.dtype)
         outputs = []
-        hidden = jnp.zeros((b * new_w, 1, self.hid_chan * num_dir))
-        cell = jnp.zeros((b * new_w, 1, self.hid_chan * num_dir))
         for i in range(iterations):
-            sl = x[:, :, i * win : (i + 1) * win]  # (B, W, win, Cdir)
-            wlen = sl.shape[1]
-            # fold W into batch; unfold window into channels: (B*W, ?, C*win)
-            sl = sl.reshape(b * wlen, win, cdir)
-            sl = sl.transpose(0, 2, 1).reshape(b * wlen, 1, cdir * win)
+            sl = x[:, :, i * win: (i + 1) * win, :]  # (B, W, win_i, C2)
+            win_i = sl.shape[2]
+            bsz = b * win_i
+            # fold the window positions into batch, unfold W into channels
+            sl = sl.transpose(0, 2, 1, 3).reshape(bsz, new_w, cdir)
+            sl = convops.unfold_1d(sl, win, st)  # (bsz, L, C2*win)
             if num_dir > 1:
-                half = cin // 2
-                sf, sb = sl[..., :half], sl[..., half:]
-                hf, hb = (hidden[..., : self.hid_chan],
-                          hidden[..., self.hid_chan :])
-                gf = lin_ih[1](lin_ih[0](sf, train), train) + lin_hh(hf, train)
-                gb = lin_ih_b[1](lin_ih_b[0](sb, train), train) + lin_hh_b(
-                    hb, train
-                )
+                sf, sb = sl[..., : cw], sl[..., cw:]
+                hf = hidden[..., :hid]
+                hb = hidden[..., hid:]
+                gf = lin_ih[1](lin_ih[0](sf, train), train) \
+                    + lin_hh(hf, train)[:bsz]
+                gb = lin_ih_b[1](lin_ih_b[0](sb, train), train) \
+                    + lin_hh_b(hb, train)[:bsz]
                 gates = jnp.concatenate([gf, gb], axis=-1)
             else:
-                gates = lin_ih[1](lin_ih[0](sl, train), train) + lin_hh(
-                    hidden, train
-                )
+                gates = lin_ih[1](lin_ih[0](sl, train), train) \
+                    + lin_hh(hidden, train)[:bsz]
+            # plain 4-way channel chunk, exactly torch's gates.chunk(4, 1):
+            # for bidirectional this MIXES directions (i_t is the forward
+            # branch's first 2H channels, g_t the backward's, ...) — kept
+            # bug-for-bug for weight-import parity
             i_t, f_t, g_t, o_t = jnp.split(gates, 4, axis=-1)
-            cell = jax.nn.sigmoid(f_t) * cell + jax.nn.sigmoid(i_t) * jnp.tanh(
-                g_t
-            )
+            cell = (jax.nn.sigmoid(f_t) * cell[:bsz]
+                    + jax.nn.sigmoid(i_t) * jnp.tanh(g_t))
             hidden = jax.nn.sigmoid(o_t) * jnp.tanh(cell)
+            # (bsz, L, HD) -> (B, win_i, L, HD) -> (B, L, win_i, HD)
             outputs.append(
-                hidden.reshape(b, new_w, -1)[:, :, None, :]
-            )  # (B, W, 1, HD)
+                hidden.reshape(b, win_i, -1, num_dir * hid).transpose(
+                    0, 2, 1, 3
+                )
+            )
 
-        y = jnp.concatenate(outputs, axis=2)  # (B, W, iters, HD)
-        hd = self.hid_chan * num_dir
-        y = L.ConvTranspose(hd, hd, (win, 1), stride=(self.stride, 1),
-                            nd=2)(jnp.swapaxes(y, 1, 2))
-        # ^ approximate back-projection of window axis; see note below.
+        y = jnp.concatenate(outputs, axis=2)  # (B, L, new_h, HD)
+        hd = hid * num_dir
+        # grouped (depthwise) back-projection of the W axis:
+        # (L, new_h) -> ((L-1)*stride + window = new_w, new_h)
+        y = L.ConvTranspose(hd, hd, (win, 1), stride=(st, 1), groups=hd,
+                            nd=2)(y)
         y = L.make_act(self.act_type)(y)
         norm2 = L.make_norm(self.norm_type, hd)
         y = L._apply_norm(norm2, y, train)
         y = L.ConvNormAct(hd, self.in_chan, 1, is2d=True)(y, train)
-        y = convops.interp_nearest(y, (w_axis, h_axis))[:, :w_axis, :h_axis]
+        y = y[:, :old_w, :old_h]
         if self.dim == 3:
             y = jnp.swapaxes(y, 1, 2)
         return y + residual

@@ -115,6 +115,7 @@ def conv_transpose(
     padding: Sequence[int] | int = 0,
     output_padding: Sequence[int] | int = 0,
     dilation: Sequence[int] | int = 1,
+    groups: int = 1,
     bias: jax.Array | None = None,
 ) -> jax.Array:
     """torch ConvTranspose-parity transposed convolution, channels-last.
@@ -125,8 +126,11 @@ def conv_transpose(
 
     Args:
       x: (B, *spatial, Cin).
-      w: (*kernel_spatial, Cout, Cin) — note IO order mirrors torch's
-        ConvTranspose weight (Cin, Cout, *k) transposed to spatial-first.
+      w: (*kernel_spatial, Cout, Cin // groups) — note IO order mirrors
+        torch's ConvTranspose weight (Cin, Cout // groups, *k) transposed
+        to spatial-first (for groups > 1, Cout is the global channel and
+        the last axis the within-group input channel; group g's outputs
+        read group g's inputs, exactly torch's blocking).
       padding/output_padding: torch ints (out = (in-1)*s - 2p + d(k-1) + op + 1).
     """
     nd = x.ndim - 2
@@ -163,6 +167,7 @@ def conv_transpose(
         lhs_dilation=tuple(stride),
         rhs_dilation=tuple(dilation),
         dimension_numbers=dn,
+        feature_group_count=groups,
     )
     if bias is not None:
         out = out + bias

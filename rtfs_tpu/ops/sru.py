@@ -191,7 +191,15 @@ class SRU(nn.Module):
     def __call__(self, x: jax.Array) -> jax.Array:
         backend = self.backend
         if backend == "auto":
-            backend = "pallas" if jax.default_backend() == "tpu" else "scan"
+            # RTFS_SRU_BACKEND overrides the default choice — used by perf
+            # A/B runs (Pallas custom-call vs pure-XLA scan) and as an
+            # escape hatch on backends where Mosaic misbehaves.
+            import os
+
+            backend = os.environ.get(
+                "RTFS_SRU_BACKEND",
+                "pallas" if jax.default_backend() == "tpu" else "scan",
+            )
         fuse_window = self.window is not None and backend in (
             "pallas", "interpret"
         )

@@ -37,6 +37,8 @@ class CheckpointManager:
         )
 
     def save(self, epoch: int, state, val_loss: float):
+        """Must be called by ALL processes in a multi-host run (orbax
+        synchronizes internally; only the primary host writes metadata)."""
         self._mgr.save(
             epoch,
             args=ocp.args.StandardSave(jax.tree.map(np.asarray, state)),
@@ -47,8 +49,10 @@ class CheckpointManager:
         self.best_k = dict(
             sorted(self.best_k.items(), key=lambda kv: kv[1])[: self.top_k]
         )
-        with open(os.path.join(self.exp_dir, "best_k_models.json"), "w") as f:
-            json.dump(self.best_k, f, indent=2)
+        if jax.process_index() == 0:
+            with open(os.path.join(self.exp_dir, "best_k_models.json"),
+                      "w") as f:
+                json.dump(self.best_k, f, indent=2)
 
     def restore(self, state_template, step: Optional[int] = None):
         step = step if step is not None else self._mgr.latest_step()

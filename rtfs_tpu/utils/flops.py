@@ -22,6 +22,18 @@ def param_count(tree) -> int:
 
 def compiled_flops(fn, *args) -> Optional[float]:
     """FLOPs of ``fn(*args)`` from XLA cost analysis (None if unavailable)."""
+    cost = compiled_cost(fn, *args)
+    return cost.get("flops") if cost else None
+
+
+def compiled_cost(fn, *args) -> Optional[Dict[str, float]]:
+    """XLA cost analysis of ``fn(*args)``: {"flops", "bytes_accessed"}.
+
+    ``bytes_accessed`` is XLA's post-fusion estimate of HBM traffic —
+    the numerator of the achieved-bandwidth roofline fraction reported by
+    ``bench.py`` (memory-bound models should be judged against the HBM
+    roofline, not MFU).
+    """
     import jax
 
     try:
@@ -29,7 +41,10 @@ def compiled_flops(fn, *args) -> Optional[float]:
         cost = lowered.compile().cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
-        return float(cost.get("flops", float("nan")))
+        return {
+            "flops": float(cost.get("flops", float("nan"))),
+            "bytes_accessed": float(cost.get("bytes accessed", float("nan"))),
+        }
     except Exception:
         return None
 

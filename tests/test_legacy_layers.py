@@ -65,3 +65,115 @@ def test_split_merge_roundtrip():
 def test_bandwidths_sum():
     bw = chunking.get_bandwidths(256)
     assert sum(bw) == 256 // 2 + 1
+
+
+# --------------------------------------------------------------- BiLSTM2D
+# golden vs the torch reference (VERDICT r2 weak #8: previously the one
+# zoo member with no torch golden)
+
+import os
+import sys
+
+REF = "/root/reference"
+
+
+def _ref_bilstm2d(**kwargs):
+    sys.path.insert(0, os.path.dirname(__file__))
+    sys.path.insert(0, REF)
+    from ref_stubs import stub_reference_deps
+
+    stub_reference_deps()
+    import torch
+
+    from src.models.layers.rnn_layers import BiLSTM2D as RefBiLSTM2D
+
+    torch.manual_seed(0)
+    ref = RefBiLSTM2D(**kwargs)
+    ref.eval()
+    return ref
+
+
+def _convert_bilstm2d_state(sd, bidirectional=True):
+    """torch BiLSTM2D state_dict -> flax params tree (channels-last)."""
+
+    def cw1d(w):  # torch conv1d (O, I/g, k) -> ours (k, I/g, O)
+        return np.transpose(w.numpy(), (2, 1, 0))
+
+    def cw2d(w):  # torch conv2d (O, I/g, kh, kw) -> ours (kh, kw, I/g, O)
+        return np.transpose(w.numpy(), (2, 3, 1, 0))
+
+    def can(prefix):  # reference ConvActNorm -> our ConvActNorm/Conv_0
+        return {"Conv_0": {
+            "kernel": cw1d(sd[f"{prefix}.conv.weight"]),
+            "bias": sd[f"{prefix}.conv.bias"].numpy(),
+        }}
+
+    p = {
+        "GlobalLayerNorm_0": {"scale": sd["norm.norm.weight"].numpy(),
+                              "bias": sd["norm.norm.bias"].numpy()},
+        "ConvActNorm_0": can("lstm_cell.linear_ih.0"),
+        "ConvActNorm_1": can("lstm_cell.linear_ih.1"),
+        "ConvActNorm_2": can("lstm_cell.linear_hh"),
+        # torch ConvTranspose2d weight (Cin, Cout/g, kh, kw) -> ours
+        # (kh, kw, Cout_global, Cin/g); depthwise: (HD,1,win,1)->(win,1,HD,1)
+        "ConvTranspose_0": {
+            "kernel": np.transpose(sd["projection.0.weight"].numpy(),
+                                   (2, 3, 0, 1)),
+            "bias": sd["projection.0.bias"].numpy(),
+        },
+        "PReLU_0": {"alpha": sd["projection.1.weight"].numpy()},
+        "GlobalLayerNorm_1": {"scale": sd["projection.2.norm.weight"].numpy(),
+                              "bias": sd["projection.2.norm.bias"].numpy()},
+        "ConvNormAct_0": {"Conv_0": {
+            "kernel": cw2d(sd["projection.3.conv.weight"]),
+            "bias": sd["projection.3.conv.bias"].numpy(),
+        }},
+    }
+    if bidirectional:
+        p["ConvActNorm_3"] = can("lstm_cell.linear_ih_b.0")
+        p["ConvActNorm_4"] = can("lstm_cell.linear_ih_b.1")
+        p["ConvActNorm_5"] = can("lstm_cell.linear_hh_b")
+    return p
+
+
+@pytest.mark.skipif(not os.path.isdir(os.path.join(REF, "src")),
+                    reason="reference checkout not available")
+@pytest.mark.parametrize("dim,stride,bidirectional", [
+    (3, 1, True),   # window over T, overlapping unfold
+    (4, 1, True),   # window over F
+    (3, 2, True),   # strided unfold + strided grouped ConvTranspose
+    (3, 1, False),  # unidirectional cell
+])
+def test_bilstm2d_golden(dim, stride, bidirectional):
+    import torch
+
+    kwargs = dict(in_chan=8, hid_chan=6, dim=dim, kernel_size=3, window=4,
+                  stride=stride, bidirectional=bidirectional)
+    ref = _ref_bilstm2d(**kwargs)
+
+    rng = np.random.default_rng(0)
+    # non-multiple T/F so padding AND a short last window are exercised
+    x = rng.standard_normal((2, 10, 9, 8)).astype(np.float32)
+    with torch.no_grad():
+        # torch layout (B, C, T, F)
+        ref_out = ref(torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy()))
+    ref_out = np.transpose(ref_out.numpy(), (0, 2, 3, 1))
+
+    ours = LL.BiLSTM2D(**kwargs)
+    template = jax.eval_shape(
+        ours.init, {"params": jax.random.PRNGKey(0)}, jnp.asarray(x)
+    )
+    params = _convert_bilstm2d_state(ref.state_dict(), bidirectional)
+    # shape-check the converted tree against the template
+    flat_t = jax.tree_util.tree_leaves_with_path(template["params"])
+    flat_p = {jax.tree_util.keystr(k): v for k, v in
+              jax.tree_util.tree_leaves_with_path(params)}
+    assert len(flat_t) == len(flat_p)
+    for k, leaf in flat_t:
+        ks = jax.tree_util.keystr(k)
+        assert ks in flat_p, ks
+        assert flat_p[ks].shape == leaf.shape, (ks, flat_p[ks].shape,
+                                                leaf.shape)
+
+    out = ours.apply({"params": params}, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(out), ref_out, atol=2e-5)

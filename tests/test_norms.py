@@ -1,14 +1,14 @@
-"""Norm statistics numerics: shifted single-pass stats vs torch two-pass.
+"""Norm statistics numerics: single-pass E[x^2]-E[x]^2 vs torch two-pass.
 
 The TPU-native norms (``rtfs_tpu/models/layers.py``) compute mean and
 variance as sibling single-pass reductions so XLA fuses them into one HBM
-sweep. The raw E[x^2]-E[x]^2 form loses ~2*log2(|mean|/std) bits to
-cancellation when a large DC offset dominates (ADVICE r2); the norms
-therefore run the sweep on data shifted by one in-group sample, which
-makes the cancellation scale with that sample's deviation instead of the
-absolute mean. These tests pin the resulting tolerance against torch's
-two-pass GroupNorm/var at RTFS activation scales AND at a pathological
-1e3-sigma DC offset (where the unshifted form was off by ~0.19).
+sweep. The E[x^2]-E[x]^2 form loses ~2*log2(|mean|/std) bits to
+cancellation when a large DC offset dominates (ADVICE r2); these tests pin
+both the tight tolerance at RTFS activation scales AND the documented
+degradation at a pathological 1e3-sigma DC offset. (A shifted-center
+variant that fixed the large-offset case was tried and reverted: the
+data-dependent center slice fused into strided producer convolutions and
+made them 15x slower on TPU — see the comment in GlobalLayerNorm.)
 """
 
 import numpy as np
@@ -33,9 +33,11 @@ def _gln_pair(x_np):
 
 
 @pytest.mark.parametrize("offset,tol", [
-    (0.0, 2e-5),      # RTFS activation scale: tight
-    (1000.0, 2e-4),   # 1e3-sigma DC offset: the shifted sweep keeps the
-                      # cancellation at O(sample-deviation), not O(mean)
+    (0.0, 2e-5),     # RTFS activation scale: tight
+    (10.0, 2e-3),    # mild offset: ~7 bits lost, still near-exact
+    (100.0, 2e-1),   # |mean|/std = 1e2 -> ~13 of 24 f32 bits cancelled:
+                     # this pins the DOCUMENTED accuracy floor of the fast
+                     # single-pass form (no preset produces such inputs)
 ])
 def test_gln_single_pass_large_mean_tolerance(offset, tol):
     rng = np.random.default_rng(0)
@@ -45,7 +47,18 @@ def test_gln_single_pass_large_mean_tolerance(offset, tol):
     np.testing.assert_allclose(ours, ref, atol=tol)
 
 
-@pytest.mark.parametrize("offset,tol", [(0.0, 2e-5), (1000.0, 2e-4)])
+def test_gln_extreme_offset_stays_finite():
+    """At 1e3-sigma DC the variance fully cancels in f32 — accuracy is
+    gone (documented limitation), but the eps + max(.,0) clamp must keep
+    the output FINITE (no inf/nan blowup)."""
+    rng = np.random.default_rng(2)
+    x = (rng.standard_normal((2, 17, 9, 32)) + 1000.0).astype(np.float32)
+    ours, _ = _gln_pair(x)
+    assert np.all(np.isfinite(ours))
+
+
+@pytest.mark.parametrize("offset,tol", [(0.0, 2e-5), (10.0, 2e-3),
+                                        (100.0, 2e-1)])
 def test_ln4d_single_pass_large_mean_tolerance(offset, tol):
     rng = np.random.default_rng(1)
     B, T, F, C = 2, 13, 8, 24

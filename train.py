@@ -68,20 +68,34 @@ def main(conf, args):
     from rtfs_tpu.train.optim import get_lr, set_lr
 
     if args.distributed:
-        jax.distributed.initialize()
+        # Multi-host init. On TPU pods the coordinator/process topology is
+        # auto-detected; elsewhere (and in the 2-process CPU equivalence
+        # test, tests/test_multihost.py) it is passed explicitly. CPU
+        # cross-process collectives ride gloo.
+        if jax.config.jax_platforms == "cpu" or args.cpu:
+            jax.config.update("jax_cpu_collectives_implementation", "gloo")
+        kwargs = {}
+        if args.coordinator:
+            kwargs = dict(
+                coordinator_address=args.coordinator,
+                num_processes=args.num_processes,
+                process_id=args.process_id,
+            )
+        jax.distributed.initialize(**kwargs)
 
     exp_dir = os.path.join(
         conf["log"].get("path", "log/tmp"), conf["log"]["exp_name"]
     )
     os.makedirs(exp_dir, exist_ok=True)
-    with open(os.path.join(exp_dir, "conf.yaml"), "w") as f:
-        import yaml
+    if jax.process_index() == 0:
+        with open(os.path.join(exp_dir, "conf.yaml"), "w") as f:
+            import yaml
 
-        from rtfs_tpu.utils.code_version import code_version
+            from rtfs_tpu.utils.code_version import code_version
 
-        # pin the framework code state alongside the config (reference
-        # snapshots src/models into the exp dir instead, train.py:95)
-        yaml.safe_dump({**conf, "code_version": code_version()}, f)
+            # pin the framework code state alongside the config (reference
+            # snapshots src/models into the exp dir instead, train.py:95)
+            yaml.safe_dump({**conf, "code_version": code_version()}, f)
 
     train_set, val_set = build_datasets(conf)
     model = build_avnet(conf)
@@ -165,7 +179,11 @@ def main(conf, args):
         period=conf["sche"].get("patience", 0) or 0,
     )
 
-    metrics_log = open(os.path.join(exp_dir, "metrics.jsonl"), "a")
+    # process-0-only experiment artifacts (reference: rank-0 logging)
+    metrics_log = open(
+        os.path.join(exp_dir, "metrics.jsonl")
+        if jax.process_index() == 0 else os.devnull, "a",
+    )
     from rtfs_tpu.utils.tb_writer import SummaryWriter
 
     tb = SummaryWriter(os.path.join(exp_dir, "tb")) if \
@@ -257,8 +275,10 @@ def main(conf, args):
             tb.add_scalar("val_sisnr", -val_loss, epoch)
             tb.add_scalar("learning_rate", lr, epoch)
 
-        if jax.process_index() == 0:
-            ckpt.save(epoch, jax.tree.map(np.asarray, state), val_loss)
+        # all processes must enter the save (orbax coordinates multi-host
+        # writes internally with a barrier; process 0 writes the metadata
+        # and fully-replicated arrays)
+        ckpt.save(epoch, jax.tree.map(np.asarray, state), val_loss)
 
         if val_loss < best_val - 1e-9:
             best_val = val_loss
@@ -269,11 +289,12 @@ def main(conf, args):
                 print(f"early stopping at epoch {epoch}")
                 break
 
-    # export best model
-    if jax.process_index() == 0:
-        best = ckpt.best_step()
-        if best is not None:
-            best_state = ckpt.restore(jax.tree.map(np.asarray, state), best)
+    # export best model — the orbax restore is collective (all processes
+    # participate); only the bundle write is process-0
+    best = ckpt.best_step()
+    if best is not None:
+        best_state = ckpt.restore(jax.tree.map(np.asarray, state), best)
+        if jax.process_index() == 0:
             params = best_state.params
             video_variables = best_state.video_variables
             if (isinstance(params, dict)
@@ -295,6 +316,14 @@ def main(conf, args):
             )
             print(f"exported best model (epoch {best}) to {exp_dir}/best_model.bin")
 
+    if jax.process_count() > 1:
+        # all processes reach shutdown together: without this, workers
+        # exit while process 0 is still exporting and the coordination
+        # service's shutdown barrier trips
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("rtfs_train_end")
+
 
 if __name__ == "__main__":
     from rtfs_tpu.config import load_config
@@ -305,6 +334,11 @@ if __name__ == "__main__":
     parser.add_argument("--checkpoint", default=None)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--distributed", action="store_true")
+    parser.add_argument("--coordinator", default=None,
+                        help="host:port of process 0 (omit on TPU pods "
+                             "where topology is auto-detected)")
+    parser.add_argument("--num-processes", type=int, default=None)
+    parser.add_argument("--process-id", type=int, default=None)
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
     args, overrides = parser.parse_known_args()
 
