@@ -224,22 +224,29 @@ class MaskGenerator(nn.Module):
             )(masks, train)
             masks = out * gate
 
-        spatial = masks.shape[1:-1]
-        b = masks.shape[0]
         if self.RI_split:
-            m = masks.reshape(*masks.shape[:-1], self.n_src, 2, c // 2)
-            e = embedding.reshape(*embedding.shape[:-1], 1, 2, c // 2)
-            mr, mi = m[..., 0, :], m[..., 1, :]
-            er, ei = e[..., 0, :], e[..., 1, :]
-            est_r = er * mr - ei * mi
-            est_i = er * mi + ei * mr
-            sep = jnp.concatenate([est_r, est_i], axis=-1)  # (..., n_src, C)
-        else:
-            m = masks.reshape(*masks.shape[:-1], self.n_src, c)
-            sep = m * embedding[..., None, :]
-
-        # (B, *spatial, n_src, C) -> (B, n_src, *spatial, C)
-        return jnp.moveaxis(sep, -2, 1)
+            # Complex multiply via LANE SLICES on the channel axis instead
+            # of a (..., n_src, 2, C/2) reshape: the rank-6 reshape forces
+            # XLA to materialize padded layout copies of the full-res map
+            # (profiled at ~2.5 ms/step + 0.5 GB of HLO temps at bs 32);
+            # 128-aligned slices of a 256-lane tensor are free.
+            h = c // 2
+            er, ei = embedding[..., :h], embedding[..., h:]
+            per_src = []
+            for s in range(self.n_src):
+                mr = masks[..., s * c:s * c + h]
+                mi = masks[..., s * c + h:(s + 1) * c]
+                per_src.append(
+                    jnp.concatenate([er * mr - ei * mi, er * mi + ei * mr],
+                                    axis=-1)
+                )
+            # (B, n_src, *spatial, C) built directly — no moveaxis copy
+            return jnp.stack(per_src, axis=1)
+        per_src = [
+            masks[..., s * c:(s + 1) * c] * embedding
+            for s in range(self.n_src)
+        ]
+        return jnp.stack(per_src, axis=1)
 
 
 class MaskGenerator2Chan(nn.Module):

@@ -89,6 +89,24 @@ def conv(
             out = out + bias
         return out
 
+    # Pointwise DEPTHWISE convs (k=1, groups == Cin == Cout — the RTFS
+    # block "gateway") are a per-channel scale: as an elementwise multiply
+    # XLA fuses them into the surrounding ops (residual add, projection
+    # GEMM input) instead of paying a standalone conv dispatch + a full
+    # HBM round-trip of the 256-channel full-res map per repeat.
+    if (
+        groups == x.shape[-1]
+        and w.shape[-1] == groups
+        and w.shape[-2] == 1
+        and all(k == 1 for k in kernel)
+        and all(s == 1 for s in stride)
+        and all(p == (0, 0) for p in pads)
+    ):
+        out = x * w.reshape(w.shape[-1])
+        if bias is not None:
+            out = out + bias
+        return out
+
     spatial = "".join("DHW"[3 - nd + i] for i in range(nd))
     dn = jax.lax.conv_dimension_numbers(
         x.shape, w.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
@@ -186,8 +204,55 @@ def _nearest_axis_idx(in_sz: int, out_sz: int) -> np.ndarray:
     return np.minimum(idx, in_sz - 1)
 
 
+def _repeat_factor(in_sz: int, out_sz: int):
+    """r if the torch-nearest index map equals ``arange(out) // r`` (pure
+    integer upsample-by-repeat, e.g. 126->251 or 65->129 in the RTFS
+    pyramid), else None."""
+    if out_sz <= in_sz:
+        return None
+    r = -(-out_sz // in_sz)  # ceil
+    if np.array_equal(_nearest_axis_idx(in_sz, out_sz),
+                      np.arange(out_sz) // r):
+        return r
+    return None
+
+
 def _interp_nearest_fwd_impl(x: jax.Array, size) -> jax.Array:
     nd = x.ndim - 2
+
+    # Integer-repeat upsampling: broadcast+reshape+slice instead of a
+    # gather. XLA fuses the repeat into consumers as a cheap producer
+    # (the gather was a standalone kCustom fusion with 2x-padded temps).
+    # Mixed plans (one gather axis + one repeat axis, e.g. the CAF's
+    # video (T_v, 1) -> (T, F)) run the gather FIRST on the small tensor,
+    # then the free repeats.
+    reps = [
+        None if x.shape[1 + a] == int(size[a])
+        else _repeat_factor(x.shape[1 + a], int(size[a]))
+        for a in range(nd)
+    ]
+    gather_axes = [a for a in range(nd)
+                   if x.shape[1 + a] != int(size[a]) and reps[a] is None]
+    if len(gather_axes) < nd or any(r is not None for r in reps):
+        for a in gather_axes:
+            x = jnp.take(
+                x,
+                jnp.asarray(_nearest_axis_idx(x.shape[1 + a], int(size[a]))),
+                axis=1 + a,
+            )
+        for a in range(nd):
+            if reps[a] is None:
+                continue
+            r, out_sz = reps[a], int(size[a])
+            shp = list(x.shape)
+            bshape = shp[:2 + a] + [r] + shp[2 + a:]
+            x = jnp.broadcast_to(jnp.expand_dims(x, 2 + a), bshape)
+            shp[1 + a] = shp[1 + a] * r
+            x = x.reshape(shp)
+            if shp[1 + a] != out_sz:
+                x = jax.lax.slice_in_dim(x, 0, out_sz, axis=1 + a)
+        return x
+
     if nd == 2 and x.shape[1] != size[0] and x.shape[2] != size[1]:
         # Both spatial axes resize: ONE merged gather over the flattened
         # (T*F) axis instead of two takes with a materialized intermediate.
@@ -231,6 +296,17 @@ def _interp_nearest_cv_bwd(size, in_shape, g):
         in_sz = int(in_shape[1 + axis])
         out_sz = g.shape[1 + axis]
         if in_sz == out_sz:
+            continue
+        r = _repeat_factor(in_sz, out_sz)
+        if r is not None:
+            # adjoint of repeat-by-r (+trailing trim): pad back to in*r,
+            # fold (in, r), sum the r copies — no gather matrix needed
+            pad = [(0, 0)] * g.ndim
+            pad[1 + axis] = (0, in_sz * r - out_sz)
+            gp = jnp.pad(g, pad)
+            shp = list(gp.shape)
+            shp[1 + axis:2 + axis] = [in_sz, r]
+            g = gp.reshape(shp).sum(axis=2 + axis)
             continue
         idx = _nearest_axis_idx(in_sz, out_sz)
         m = np.zeros((out_sz, in_sz), dtype=np.float32)

@@ -1,4 +1,5 @@
-"""TRAINED-weights parity vs the torch reference (round-1 verdict item 6).
+"""TRAINED-weights parity vs the torch reference (r1 verdict item 6,
+extended to FULL DEPTH in r3 per r2 verdict item 4).
 
 Round 1's waveform goldens ran on random init; error accumulation on
 trained weights (sharper gates, larger activations) was untested. No
@@ -11,9 +12,16 @@ the trained state_dict through ``convert_avnet``, and asserts:
   - bf16 metric agreement: the bf16 model's SI-SNR to target within
     0.5 dB of the torch f32 model's.
 
-Uses the RTFS-Net architecture with repeats shrunk for CPU speed, as the
-TDFNet/CTCNet goldens do (`test_avnet_golden.py`).
+Variants: a shrunk (2-repeat) fast case, the FULL-depth RTFS-Net-4
+(4 shared repeats, exactly the flagship preset), and the BASELINE.md
+north-star RTFS-Net-12 at full 12 shared repeats — trained-weight error
+accumulation across the full recursion depth is precisely what the
+shrunk case could not cover (reference depth recursion:
+``src/models/TDAVNet/refinement_module.py:45-62``; trained-checkpoint
+loading it models: ``base_av_model.py:24-34``).
 """
+
+import dataclasses
 
 import numpy as np
 import pytest
@@ -35,15 +43,14 @@ def _si_snr(est, target, eps=1e-8):
     )
 
 
-@pytest.mark.slow
-def test_trained_weights_parity():
+def _run_trained_parity(config_name, shrink, train_steps=40):
     import torch
 
     from rtfs_tpu.config import build_avnet
     from rtfs_tpu.utils.precision import cast_params
     from rtfs_tpu.utils.torch_import import convert_avnet
 
-    ref, conf = _build_reference("lrs2_RTFSNet_4_layer", (2, 1))
+    ref, conf = _build_reference(config_name, shrink)
     ref.train()
 
     # synthetic targets with distinct spectral signatures + a fixed mouth
@@ -65,7 +72,7 @@ def test_trained_weights_parity():
 
     opt = torch.optim.Adam(ref.parameters(), lr=1e-3)
     first = last = None
-    for step in range(40):
+    for step in range(train_steps):
         opt.zero_grad()
         est = ref(wav, mouth_emb)[:, 0]  # n_src=1 extraction
         e = est - est.mean(-1, keepdim=True)
@@ -100,8 +107,6 @@ def test_trained_weights_parity():
     )
 
     # bf16: exactness is not expected; the separation METRIC must agree
-    import dataclasses
-
     model_bf16 = dataclasses.replace(model, compute_dtype="bfloat16")
     got16 = np.asarray(
         model_bf16.apply(cast_params(variables), jwav, jemb)
@@ -111,3 +116,22 @@ def test_trained_weights_parity():
     assert abs(snr_16 - snr_ref) < 0.5, (
         f"bf16 SI-SNR drifted: torch {snr_ref:.2f} dB vs bf16 {snr_16:.2f} dB"
     )
+
+
+@pytest.mark.slow
+def test_trained_weights_parity_shrunk():
+    _run_trained_parity("lrs2_RTFSNet_4_layer", (2, 1))
+
+
+@pytest.mark.slow
+def test_trained_weights_parity_full_depth_rtfsnet4():
+    """FULL flagship depth: 4 shared repeats, no shrink (r2 verdict #4)."""
+    _run_trained_parity("lrs2_RTFSNet_4_layer", None)
+
+
+@pytest.mark.slow
+def test_trained_weights_parity_full_depth_rtfsnet12():
+    """BASELINE.md north star: RTFS-Net-12 at full 12 shared repeats,
+    trained weights (r2 verdict #4). Fewer torch steps to bound CPU time;
+    the loss-drop assertion still guarantees the gates moved."""
+    _run_trained_parity("lrs2_RTFSNet_12_layer", None, train_steps=25)

@@ -84,7 +84,9 @@ def build_train_loop():
 
 
 class OpRecord(
-    collections.namedtuple("OpRecord", "dur_ps category tf_op source")
+    collections.namedtuple(
+        "OpRecord", "dur_ps category tf_op source bytes_total"
+    )
 ):
     pass
 
@@ -106,39 +108,62 @@ def parse_xplane(logdir):
         xspace.ParseFromString(f.read())
 
     def leaf_durations(line):
-        """metadata_id -> summed duration over LEAF events only."""
+        """metadata_id -> (summed duration, occurrence count), LEAF events
+        only."""
         evs = sorted((ev.offset_ps, ev.duration_ps, ev.metadata_id)
                      for ev in line.events)
-        out = collections.Counter()
+        out = {}
+
+        def add(m, d):
+            dur, n = out.get(m, (0, 0))
+            out[m] = (dur + d, n + 1)
+
         stack = []  # [end_ps, start_ps, mid, is_parent]
         for start, dur, mid in evs:
             end = start + dur
             while stack and stack[-1][0] <= start:
                 e, s, m, is_parent = stack.pop()
                 if not is_parent:
-                    out[m] += e - s
+                    add(m, e - s)
             if stack:
                 stack[-1][3] = True
             stack.append([end, start, mid, False])
         while stack:
             e, s, m, is_parent = stack.pop()
             if not is_parent:
-                out[m] += e - s
+                add(m, e - s)
         return out
 
     records = {}
     async_total = 0
+    async_bytes = 0
+    peak_hbm_gbps = 0.0
     for plane in xspace.planes:
         if "TPU" not in plane.name:
             continue
         stat_names = {k: v.name for k, v in plane.stat_metadata.items()}
+        for st in plane.stats:
+            if stat_names.get(st.metadata_id) == \
+                    "peak_hbm_bw_gigabytes_per_second":
+                peak_hbm_gbps = st.double_value
+
+        def meta_bytes(mid):
+            # per-execution bytes_accessed from the op metadata (the TPU
+            # profiler's layout-aware traffic estimate for this HLO)
+            for st in plane.event_metadata[mid].stats:
+                if stat_names.get(st.metadata_id) == "bytes_accessed":
+                    return st.uint64_value or st.int64_value or 0
+            return 0
+
         for line in plane.lines:
             if line.name == "Async XLA Ops":
-                async_total += sum(leaf_durations(line).values())
+                for mid, (dur, n) in leaf_durations(line).items():
+                    async_total += dur
+                    async_bytes += n * meta_bytes(mid)
                 continue
             if line.name != "XLA Ops":
                 continue
-            for mid, dur in leaf_durations(line).items():
+            for mid, (dur, n) in leaf_durations(line).items():
                 meta = plane.event_metadata[mid]
                 stats = {}
                 for st in meta.stats:
@@ -151,9 +176,11 @@ def parse_xplane(logdir):
                     category=stats.get("hlo_category", "?"),
                     tf_op=stats.get("tf_op", ""),
                     source=stats.get("source", ""),
+                    bytes_total=n * meta_bytes(mid)
+                    + (prev.bytes_total if prev else 0),
                 )
                 records[key] = rec
-    return records, async_total
+    return records, async_total, async_bytes, peak_hbm_gbps
 
 
 def module_of(tf_op: str) -> str:
@@ -184,9 +211,14 @@ def main():
     float(train_loop(*state, args.steps))
     jax.profiler.stop_trace()
 
-    records, async_total = parse_xplane(logdir)
+    records, async_total, async_bytes, peak_hbm_gbps = parse_xplane(logdir)
     total_ps = sum(r.dur_ps for r in records.values())
     per_step_ms = total_ps / 1e9 / args.steps
+    sync_bytes = sum(r.bytes_total for r in records.values())
+    hbm_gb_step = (sync_bytes + async_bytes) / 1e9 / args.steps
+    # wall time for BW purposes = sync op time (async DMA overlaps it)
+    achieved_gbps = hbm_gb_step / (per_step_ms / 1e3) if per_step_ms else 0
+    hbm_frac = achieved_gbps / peak_hbm_gbps if peak_hbm_gbps else 0
 
     def rollup(keyfn):
         c = collections.Counter()
@@ -202,6 +234,10 @@ def main():
     print(f"# TensorCore op time: {per_step_ms:.2f} ms/step x {args.steps} "
           f"(+ {async_total/1e9/args.steps:.2f} ms/step async DMA, "
           f"overlapped)", file=sys.stderr)
+    print(f"# HBM traffic (profiler, layout-aware): {hbm_gb_step:.1f} "
+          f"GB/step -> {achieved_gbps:.0f} GB/s achieved = "
+          f"{100*hbm_frac:.0f}% of peak {peak_hbm_gbps:.0f} GB/s",
+          file=sys.stderr)
 
     def show(title, counter, k=18):
         print(f"#\n# --- {title} ---", file=sys.stderr)
@@ -223,6 +259,10 @@ def main():
     print(json.dumps({
         "per_step_device_ms": round(per_step_ms, 3),
         "per_step_async_dma_ms": round(async_total / 1e9 / args.steps, 3),
+        "hbm_gb_per_step": round(hbm_gb_step, 2),
+        "achieved_hbm_gbps": round(achieved_gbps, 1),
+        "hbm_roofline_frac": round(hbm_frac, 3),
+        "peak_hbm_gbps": round(peak_hbm_gbps, 1),
         "steps": args.steps,
         "by_category_ms": {c: round(ps / 1e9 / args.steps, 3)
                            for c, ps in cats.most_common()},
