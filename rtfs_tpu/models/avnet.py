@@ -224,28 +224,48 @@ class MaskGenerator(nn.Module):
             )(masks, train)
             masks = out * gate
 
+        f = L.fold_factor()
         if self.RI_split:
             # Complex multiply via LANE SLICES on the channel axis instead
             # of a (..., n_src, 2, C/2) reshape: the rank-6 reshape forces
             # XLA to materialize padded layout copies of the full-res map
             # (profiled at ~2.5 ms/step + 0.5 GB of HLO temps at bs 32);
-            # 128-aligned slices of a 256-lane tensor are free.
+            # 128-aligned slices of a 256-lane tensor are free. Under
+            # batch_fold the channel layout is [g: n_src*C] for masks and
+            # [g: C] for the embedding, sliced per (source, group).
             h = c // 2
-            er, ei = embedding[..., :h], embedding[..., h:]
             per_src = []
             for s in range(self.n_src):
-                mr = masks[..., s * c:s * c + h]
-                mi = masks[..., s * c + h:(s + 1) * c]
+                parts = []
+                for g in range(f):
+                    eb = g * c
+                    er = embedding[..., eb:eb + h]
+                    ei = embedding[..., eb + h:eb + c]
+                    mb = g * self.n_src * c + s * c
+                    mr = masks[..., mb:mb + h]
+                    mi = masks[..., mb + h:mb + c]
+                    parts.append(
+                        jnp.concatenate(
+                            [er * mr - ei * mi, er * mi + ei * mr], axis=-1
+                        )
+                    )
                 per_src.append(
-                    jnp.concatenate([er * mr - ei * mi, er * mi + ei * mr],
-                                    axis=-1)
+                    parts[0] if f == 1 else jnp.concatenate(parts, axis=-1)
                 )
-            # (B, n_src, *spatial, C) built directly — no moveaxis copy
+            # (B(/f), n_src, *spatial, (f*)C) built directly — no moveaxis
             return jnp.stack(per_src, axis=1)
-        per_src = [
-            masks[..., s * c:(s + 1) * c] * embedding
-            for s in range(self.n_src)
-        ]
+        per_src = []
+        for s in range(self.n_src):
+            parts = []
+            for g in range(f):
+                eb = g * c
+                mb = g * self.n_src * c + s * c
+                parts.append(
+                    masks[..., mb:mb + c] * embedding[..., eb:eb + c]
+                )
+            per_src.append(
+                parts[0] if f == 1 else jnp.concatenate(parts, axis=-1)
+            )
         return jnp.stack(per_src, axis=1)
 
 
@@ -510,15 +530,24 @@ class RefinementModule(nn.Module):
     def __call__(self, audio, video, train: bool = False):
         audio_residual = audio
         video_residual = video
+        bf = L.fold_factor()
 
         for i in range(self.fusion_repeats):
             audio = self.audio_net.block(
                 i, audio + audio_residual if i > 0 else audio, train
             )
-            video = self.video_net.block(
-                i, video + video_residual if i > 0 else video, train
-            )
-            audio, video = self.crossmodal_fusion.fuse(i, audio, video, train)
+            # the video path and the cross-modal fusion run UNFOLDED: the
+            # video net may hold BatchNorms and the fusion mixes audio and
+            # video channels; both are tiny next to the audio TF maps
+            audio = L.unfold_batch(audio, bf)
+            with L.batch_fold(1):
+                video = self.video_net.block(
+                    i, video + video_residual if i > 0 else video, train
+                )
+                audio, video = self.crossmodal_fusion.fuse(
+                    i, audio, video, train
+                )
+            audio = L.fold_batch(audio, bf)
 
         for j in range(self.audio_repeats):
             i = j + self.fusion_repeats
@@ -576,6 +605,13 @@ class AVNet(nn.Module):
     # over an ICI "model" mesh axis (halo exchange for F-convs, collectives
     # for the F-folded attention are compiler-inserted). None = unsharded.
     tf_sharding: Any = None
+    # Batch-pair channel folding (see rtfs_tpu.models.layers.batch_fold):
+    # run the refinement core on (B/f, T, F, f*C) tensors so every channel
+    # axis is a multiple of 128 lanes — removes the 2x HBM padding tax on
+    # the 64-channel hid maps. Requires batch % batch_fold == 0. Pure
+    # computation-layout choice: parameters and numerics are unchanged
+    # (pinned by tests/test_batch_fold.py).
+    batch_fold: int = 1
 
     def setup(self):
         edp = dict(self.enc_dec_params)
@@ -666,26 +702,39 @@ class AVNet(nn.Module):
     def __call__(self, audio_mixture, mouth_embedding=None, train: bool = False):
         length = audio_mixture.shape[-1]
         dtype = jnp.dtype(self.compute_dtype)
+        bf = self.batch_fold
+        if bf > 1 and audio_mixture.shape[0] % bf:
+            raise ValueError(
+                f"batch_fold={bf} requires batch % {bf} == 0, got "
+                f"{audio_mixture.shape[0]}"
+            )
         embedding = self.encoder(audio_mixture, train)  # (B,T,(F,),C)
         if dtype != jnp.float32:
             embedding = embedding.astype(dtype)
             mouth_embedding = mouth_embedding.astype(dtype)
-        audio = self.audio_bottleneck(embedding, train)
-        if self.tf_sharding is not None and audio.ndim == 4:
-            audio = jax.lax.with_sharding_constraint(audio, self.tf_sharding)
-        # audio-only mode (reference System(video_model=None)): no video
-        # branch; the refinement module runs audio repeats only.
-        video = (
-            None
-            if mouth_embedding is None
-            else self.video_bottleneck(mouth_embedding, train)
-        )
-        refined = self.refinement_module(audio, video, train)
-        if self.tf_sharding is not None and refined.ndim == 4:
-            refined = jax.lax.with_sharding_constraint(
-                refined, self.tf_sharding
-            )
-        separated = self.mask_generator(refined, embedding, train)
+        with L.batch_fold(bf):
+            embedding_f = L.fold_batch(embedding, bf)
+            audio = self.audio_bottleneck(embedding_f, train)
+            if self.tf_sharding is not None and audio.ndim == 4 and bf == 1:
+                audio = jax.lax.with_sharding_constraint(
+                    audio, self.tf_sharding
+                )
+            # audio-only mode (reference System(video_model=None)): no
+            # video branch; the refinement module runs audio repeats only.
+            if mouth_embedding is None:
+                video = None
+            else:
+                with L.batch_fold(1):  # video path stays unfolded
+                    video = self.video_bottleneck(mouth_embedding, train)
+            refined = self.refinement_module(audio, video, train)
+            if self.tf_sharding is not None and refined.ndim == 4 and bf == 1:
+                refined = jax.lax.with_sharding_constraint(
+                    refined, self.tf_sharding
+                )
+            separated = self.mask_generator(refined, embedding_f, train)
+        # unfold groups back into the batch axis: (B/f, n_src, *sp, f*C)
+        # -> (B, n_src, *sp, C)
+        separated = L.unfold_batch(separated, bf)
         if dtype != jnp.float32:
             separated = separated.astype(jnp.float32)
         out = self.decoder(separated, length, train)

@@ -30,6 +30,7 @@ does.
 
 from __future__ import annotations
 
+import contextlib
 import math
 from typing import Any, Callable, Optional, Sequence
 
@@ -77,6 +78,81 @@ def torch_conv_bias_init(fan_in: int):
 
 
 # --------------------------------------------------------------------------
+# Batch-pair channel folding
+# --------------------------------------------------------------------------
+#
+# TPU arrays tile the minor dimension to 128 lanes, so every 64-channel
+# (hid_chan) tensor in the RTFS block is stored — and DMA'd — 2x padded
+# (profiled: ~55% of train-step HBM traffic touches 64-lane tensors).
+# Folding BATCH PAIRS into the channel axis, (B,*sp,C) -> (B/f,*sp,f*C),
+# makes every channel axis a multiple of 128 with EXACTLY the same math:
+#   - depthwise convs stay depthwise (weights tiled f times),
+#   - dense convs become groups=f with the weights replicated per group
+#     (pointwise ones: one block-diagonal GEMM, keeping the MXU path),
+#   - gLN takes per-(batch,group) statistics,
+#   - elementwise ops, resizes, pools and spatial padding are untouched.
+# Parameters are UNCHANGED — folding is a pure computation-layout choice,
+# entered per-trace via the ``batch_fold`` context (an AVNet attribute
+# sets it; see ``avnet.AVNet.batch_fold``). Regions that must see the
+# plain layout (the globalatt stack, the video path, cross-modal fusion)
+# re-enter ``batch_fold(1)`` around an unfold/refold island.
+
+_BATCH_FOLD = 1
+
+
+@contextlib.contextmanager
+def batch_fold(f: int):
+    """Run the enclosed module applications with batch-fold factor f."""
+    global _BATCH_FOLD
+    old = _BATCH_FOLD
+    _BATCH_FOLD = int(f)
+    try:
+        yield
+    finally:
+        _BATCH_FOLD = old
+
+
+def fold_factor() -> int:
+    return _BATCH_FOLD
+
+
+def fold_batch(x: jax.Array, f: int) -> jax.Array:
+    """(B, *spatial, C) -> (B//f, *spatial, f*C), batch-major groups."""
+    if f == 1:
+        return x
+    b, c = x.shape[0], x.shape[-1]
+    xr = x.reshape(b // f, f, *x.shape[1:])
+    xr = jnp.moveaxis(xr, 1, -2)
+    return xr.reshape(b // f, *x.shape[1:-1], f * c)
+
+
+def unfold_batch(x: jax.Array, f: int) -> jax.Array:
+    """Inverse of ``fold_batch``."""
+    if f == 1:
+        return x
+    c = x.shape[-1] // f
+    xr = x.reshape(*x.shape[:-1], f, c)
+    xr = jnp.moveaxis(xr, -2, 1)
+    return xr.reshape(x.shape[0] * f, *x.shape[1:-1], c)
+
+
+def fold_concat(parts, axis: int = -1) -> jax.Array:
+    """Channel concat that stays group-consistent under batch_fold.
+
+    Folded tensors carry channels as [g0: C_i | g1: C_i | ...]; a naive
+    concat would interleave groups and parts wrongly. Splits each part's
+    minor dim into (f, C_i), concats per group, merges back — all minor-dim
+    reshapes (bitcasts)."""
+    assert axis in (-1, parts[0].ndim - 1)
+    f = fold_factor()
+    if f == 1:
+        return jnp.concatenate(parts, axis=-1)
+    rs = [p.reshape(*p.shape[:-1], f, p.shape[-1] // f) for p in parts]
+    out = jnp.concatenate(rs, axis=-1)
+    return out.reshape(*out.shape[:-2], out.shape[-2] * out.shape[-1])
+
+
+# --------------------------------------------------------------------------
 # Normalisations
 # --------------------------------------------------------------------------
 
@@ -93,7 +169,24 @@ class GlobalLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        axes = tuple(range(1, x.ndim))
+        gamma = self.param("scale", nn.initializers.ones, (self.features,))
+        beta = self.param("bias", nn.initializers.zeros, (self.features,))
+        f = fold_factor()
+        if f > 1 and x.shape[-1] == f * self.features:
+            # batch-fold: statistics per (batch row, fold group) — exactly
+            # the per-batch-element stats of the unfolded layout. The
+            # minor-dim split (f*C)->(f,C) is a free bitcast; gamma/beta
+            # broadcast over the group axis.
+            xr = x.reshape(*x.shape[:-1], f, self.features)
+            xf = xr.astype(jnp.float32)
+            axes = tuple(range(1, xr.ndim - 2)) + (xr.ndim - 1,)
+            mean = jnp.mean(xf, axis=axes, keepdims=True)
+            sq = jnp.mean(jnp.square(xf), axis=axes, keepdims=True)
+            var = jnp.maximum(sq - jnp.square(mean), 0.0)
+            norm = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(
+                x.dtype
+            )
+            return (norm * gamma + beta).reshape(x.shape)
         # Single-pass statistics: E[x] and E[x^2] are sibling reductions
         # over the same operand, so XLA fuses them into ONE sweep of the
         # tensor (the dependent two-pass form costs an extra full HBM read
@@ -106,12 +199,11 @@ class GlobalLayerNorm(nn.Module):
         # tried and REVERTED: the data-dependent center slice fuses into
         # strided producer convs and makes them 15x slower (r3 profile,
         # 4.1 ms vs 0.27 ms for the pyramid's stride-2 DW conv).
+        axes = tuple(range(1, x.ndim))
         xf = x.astype(jnp.float32)
         mean = jnp.mean(xf, axis=axes, keepdims=True)
         sq = jnp.mean(jnp.square(xf), axis=axes, keepdims=True)
         var = jnp.maximum(sq - jnp.square(mean), 0.0)
-        gamma = self.param("scale", nn.initializers.ones, (self.features,))
-        beta = self.param("bias", nn.initializers.zeros, (self.features,))
         norm = ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
         return norm * gamma + beta
 
@@ -131,6 +223,11 @@ class LayerNormalization4D(nn.Module):
     @nn.compact
     def __call__(self, x):
         # x: (B, T, F, C); n_freqs == 1 means per-(B,T,F) channel stats.
+        if fold_factor() > 1 and x.shape[-1] != self.features:
+            raise NotImplementedError(
+                "LayerNormalization4D under batch_fold: wrap the caller in "
+                "an unfold island (layers.batch_fold(1))"
+            )
         if self.n_freqs > 1:
             axes = (-2, -1)
             pshape = (1, 1, self.n_freqs, self.features)
@@ -162,6 +259,11 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        if fold_factor() > 1 and x.shape[-1] != self.features:
+            raise NotImplementedError(
+                "BatchNorm under batch_fold: keep BN paths (video net) in "
+                "an unfold island (layers.batch_fold(1))"
+            )
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
@@ -177,6 +279,11 @@ class TorchLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        if fold_factor() > 1 and x.shape[-1] != self.features:
+            raise NotImplementedError(
+                "TorchLayerNorm under batch_fold: wrap the caller in an "
+                "unfold island (layers.batch_fold(1))"
+            )
         return nn.LayerNorm(epsilon=1e-5)(x)
 
 
@@ -313,6 +420,51 @@ class Conv(nn.Module):
         if self.use_bias:
             fan_in = int(np.prod(kshape[:-1]))
             b = self.param("bias", torch_conv_bias_init(fan_in), (self.out_chan,))
+
+        f = fold_factor()
+        if f > 1:
+            # batch-fold: input is (B/f, *sp, f*in_chan); every group of
+            # the fold gets the SAME weights, so the op is a groups*f conv
+            # with the kernel replicated along the output-channel axis —
+            # gradients to the shared weights sum over groups via the
+            # concat adjoint, identical to the unfolded math.
+            if x.shape[-1] != f * self.in_chan:
+                raise ValueError(
+                    f"batch_fold={f}: conv expected {f * self.in_chan} "
+                    f"folded input channels, got {x.shape[-1]}"
+                )
+            b_eff = None if b is None else jnp.tile(b, f)
+            stride1 = (
+                self.stride == 1
+                or (hasattr(self.stride, "__len__")
+                    and all(s == 1 for s in self.stride))
+            )
+            if (
+                self.groups == 1
+                and all(k == 1 for k in kernel)
+                and stride1
+                and self.padding in ("same", 0)
+            ):
+                # pointwise dense: ONE block-diagonal GEMM (kron with I_f)
+                # keeps the MXU path and emits the folded lane-aligned
+                # output directly; the zero blocks cost FLOPs the
+                # memory-bound step has to spare.
+                wm = w.reshape(self.in_chan, self.out_chan)
+                x = x.astype(wm.dtype)
+                wbd = jnp.kron(jnp.eye(f, dtype=wm.dtype), wm)
+                out = jnp.einsum("b...i,io->b...o", x, wbd)
+                return out if b_eff is None else out + b_eff
+            w_eff = jnp.concatenate([w] * f, axis=-1)
+            return convops.conv(
+                x,
+                w_eff,
+                stride=self.stride,
+                padding=self.padding,
+                dilation=self.dilation,
+                groups=self.groups * f,
+                bias=b_eff,
+            )
+
         return convops.conv(
             x,
             w,
@@ -369,6 +521,11 @@ class ConvTranspose(nn.Module):
                     (self.out_chan // self.groups) * receptive
                 ),
                 (self.out_chan,),
+            )
+        if fold_factor() > 1 and x.shape[-1] != self.in_chan:
+            raise NotImplementedError(
+                "ConvTranspose under batch_fold: unfold first (decoder and "
+                "DualPathRNN run outside the folded region)"
             )
         return convops.conv_transpose(
             x,

@@ -159,8 +159,15 @@ class TDANetBlock(nn.Module):
             convops.adaptive_avg_pool(f, target) for f in downsampled
         )
 
-        for layer in self.globalatt:
-            global_features = layer(global_features, train)
+        # globalatt (DualPathRNN / MHSA2D) runs UNFOLDED: its scans and
+        # attention mix channels in ways the fold cannot replicate, and at
+        # the pooled resolution the unfold/refold transposes are cheap.
+        bf = L.fold_factor()
+        global_features = L.unfold_batch(global_features, bf)
+        with L.batch_fold(1):
+            for layer in self.globalatt:
+                global_features = layer(global_features, train)
+        global_features = L.fold_batch(global_features, bf)
 
         x_fused = [
             self.fusion_layers[i](downsampled[i], global_features, train)
@@ -254,7 +261,7 @@ class FRCNNBlock(nn.Module):
             parts.append(downsampled[i])
             if i + 1 < d:
                 parts.append(convops.interp_nearest(downsampled[i + 1], shape))
-            y = jnp.concatenate(parts, axis=-1)
+            y = L.fold_concat(parts)
             x_fused.append(self.concat_layers[i](y, train))
 
         shape0 = downsampled[0].shape[1:-1]
@@ -262,7 +269,7 @@ class FRCNNBlock(nn.Module):
             convops.interp_nearest(f, shape0) for f in x_fused[1:]
         ]
         out = self.residual_conv_2(
-            self.residual_conv_1(jnp.concatenate(x_fused, axis=-1), train),
+            self.residual_conv_1(L.fold_concat(x_fused), train),
             train,
         )
         return out + residual
@@ -294,8 +301,12 @@ class DPTNetBlock(nn.Module):
     def __call__(self, x, train: bool = False):
         residual = self.gateway(x, train)
         x = self.projection(residual, train)
-        for layer in self.globalatt:
-            x = layer(x, train)
+        bf = L.fold_factor()
+        x = L.unfold_batch(x, bf)
+        with L.batch_fold(1):
+            for layer in self.globalatt:
+                x = layer(x, train)
+        x = L.fold_batch(x, bf)
         return self.residual_conv(x, train) + residual
 
 

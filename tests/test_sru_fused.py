@@ -141,3 +141,41 @@ def test_module_uses_fused_path_and_matches_scan():
     got = m_fused.apply(variables, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-5, rtol=1e-4)
+
+
+def test_fused_stack_bf16_grads_tolerance():
+    """ADVICE r2: the backward kernels recompute gates from c checkpoints
+    stored in the INPUT dtype; under bf16 the forward carried f32, so the
+    recomputed gates differ by c's rounding and add gradient noise. This
+    pins the accepted bf16 gradient error against the f32 fused gradients
+    (cosine similarity + relative magnitude), so a regression in the
+    recompute path fails loudly instead of silently degrading training.
+    """
+    rng = np.random.default_rng(7)
+    B, T, C, ks, H = 2, T_CHUNK + 9, 8, 4, 6
+    x = jnp.asarray(rng.standard_normal((B, T, C)).astype(np.float32))
+    ws, wcs, bs = _stack_params(rng, C * ks, H, 2)
+
+    def loss(ws_, wcs_, bs_, x_):
+        out = sru_stack_tpu(x_, ws_, wcs_, bs_, H, window=(ks, 1),
+                            interpret=True)
+        return jnp.sum(jnp.sin(out.astype(jnp.float32)))
+
+    g32 = jax.grad(loss, argnums=(0, 1, 2, 3))(ws, wcs, bs, x)
+    to_bf16 = lambda t: [a.astype(jnp.bfloat16) for a in t]
+    g16 = jax.grad(loss, argnums=(0, 1, 2, 3))(
+        to_bf16(ws), to_bf16(wcs), to_bf16(bs), x.astype(jnp.bfloat16)
+    )
+
+    def flat(g):
+        return jnp.concatenate([jnp.ravel(a).astype(jnp.float32)
+                                for a in jax.tree.leaves(g)])
+
+    a, b = flat(g32), flat(g16)
+    cos = float(jnp.vdot(a, b) / (jnp.linalg.norm(a) * jnp.linalg.norm(b)))
+    rel = float(jnp.linalg.norm(a - b) / jnp.linalg.norm(a))
+    # bf16 params + bf16-rounded c checkpoints: direction must hold, and
+    # the relative L2 noise stays well under the step-to-step gradient
+    # scale AdamW normalizes away
+    assert cos > 0.99, cos
+    assert rel < 0.15, rel
