@@ -353,15 +353,24 @@ def adaptive_avg_pool(x: jax.Array, size: Sequence[int]) -> jax.Array:
     """
     nd = x.ndim - 2
     assert len(size) == nd
-    for axis in range(nd):
-        in_sz = x.shape[1 + axis]
-        out_sz = int(size[axis])
-        if in_sz == out_sz:
-            continue
-        m = jnp.asarray(_adaptive_pool_matrix(in_sz, out_sz), x.dtype)
-        x = jnp.moveaxis(
-            jnp.tensordot(m, x, axes=[[1], [1 + axis]]), 0, 1 + axis
-        )
+    # einsum with the output order spelled out: the dot emits the pooled
+    # axis in place, so no moveaxis transpose follows (the tensordot +
+    # moveaxis form cost ~0.9 ms/step of layout copies in the r3 profile).
+    if nd == 1:
+        if x.shape[1] == int(size[0]):
+            return x
+        m = jnp.asarray(_adaptive_pool_matrix(x.shape[1], int(size[0])),
+                        x.dtype)
+        return jnp.einsum("ot,btc->boc", m, x)
+    assert nd == 2
+    t_in, f_in = x.shape[1], x.shape[2]
+    t_out, f_out = int(size[0]), int(size[1])
+    if t_in != t_out:
+        mt = jnp.asarray(_adaptive_pool_matrix(t_in, t_out), x.dtype)
+        x = jnp.einsum("ot,btfc->bofc", mt, x)
+    if f_in != f_out:
+        mf = jnp.asarray(_adaptive_pool_matrix(f_in, f_out), x.dtype)
+        x = jnp.einsum("of,btfc->btoc", mf, x)
     return x
 
 
