@@ -1,10 +1,18 @@
-"""Benchmark: RTFS-Net-4 inference + train throughput on one TPU chip.
+"""Benchmark: RTFS-Net family inference + train throughput on one TPU chip.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 
-Metric: audio-seconds separated per wall-clock second per chip, on the
-flagship RTFS-Net-4 / LRS2 config (2 s @ 16 kHz utterances, 50 video-frame
-embeddings), steady state, best over a small batch-size sweep.
+Headline metric: audio-seconds separated per wall-clock second per chip on
+the flagship RTFS-Net-4 / LRS2 config (2 s @ 16 kHz utterances, 50
+video-frame embeddings), steady state, best over a small batch-size sweep.
+The same JSON line also carries (VERDICT r3 #2/#6):
+  - ``family``: bs=1 bf16 latency + bs=8 bf16 throughput for RTFS-Net-6,
+    RTFS-Net-12, CTCNet-16 and TDFNet-16_3, with the reference's published
+    per-model inference times (BASELINE.md) as ``ref_ms`` where they exist;
+  - ``e2e_*``: the FULL serving pipeline (mouth frames → frozen
+    FRCNNVideoModel → AVNet) in one jitted call, so the video backbone's
+    cost is included (the AVNet-only numbers remain comparable to the
+    reference's AVNet-only MACs accounting).
 
 Measurement protocol (variance-proof, VERDICT r2 #1):
 - N forwards chained inside ONE on-device fori_loop (step i's input
@@ -15,10 +23,14 @@ Measurement protocol (variance-proof, VERDICT r2 #1):
 - The per-step estimator subtracts a separately-measured 1-iter
   dispatch+fetch overhead; if that sample glitches the estimator falls
   back to a plain mean and SAYS SO (``estimator`` field, ADVICE r2).
+  Note the train loop closes with a trailing loss eval: the subtraction
+  total(N) - total(1) cancels it exactly, so timing is uncontaminated.
 
 Roofline context: the train step is memory-bound, so next to MFU the
-bench reports the achieved-HBM-bandwidth fraction (XLA post-fusion
-bytes-accessed / measured time / v5e peak 819 GB/s).
+bench reports the achieved-HBM-bandwidth fraction from MEASURED per-op
+profiler bytes. The profiled loop is a bare-step loop ending in a tiny
+param-leaf fetch — no trailing loss eval (ADVICE r3: profiling
+train_loop overstated GB/step by ~a forward per 10 steps).
 
 Baseline: the reference reports 57.8 ms inference for one 2 s utterance
 (RTFS-Net-4, README main table / BASELINE.md) = 34.6 audio-seconds/s.
@@ -39,6 +51,15 @@ BASELINE_AUDIO_SEC_PER_S = 2.0 / 0.0578  # reference: 57.8 ms per 2 s utterance
 V5E_PEAK_BF16_FLOPS = 197e12
 V5E_PEAK_HBM_BYTES = 819e9
 REPEATS = 5
+
+# Reference per-model inference times (ms / 2 s utterance, BASELINE.md:23-25).
+FAMILY = (
+    # (config name, short key, reference ms or None)
+    ("lrs2_RTFSNet_6_layer", "rtfsnet6", 64.7),
+    ("lrs2_RTFSNet_12_layer", "rtfsnet12", 109.9),
+    ("lrs2_CTCNet_16_layer", "ctcnet16", 122.7),
+    ("lrs2_TDFNet_16_3", "tdfnet16_3", None),  # no published time
+)
 
 
 def _timed(fn, *args, n_iter: int, repeats: int = REPEATS):
@@ -71,6 +92,20 @@ def _timed(fn, *args, n_iter: int, repeats: int = REPEATS):
     return dt, spread_pct, estimator
 
 
+def _make_fwd_loop(mdl, jax, jnp):
+    from functools import partial
+
+    @partial(jax.jit, static_argnames="n_iter")
+    def fwd_loop(v, w, m, n_iter):
+        def body(_, carry):
+            out = mdl.apply(v, w + 1e-12 * carry, m)
+            return jnp.sum(out)
+
+        return jax.lax.fori_loop(0, n_iter, body, jnp.zeros((), jnp.float32))
+
+    return fwd_loop
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
@@ -94,18 +129,10 @@ def main() -> None:
 
     from functools import partial
 
-    def make_loop(mdl):
-        @partial(jax.jit, static_argnames="n_iter")
-        def fwd_loop(v, w, m, n_iter):
-            def body(_, carry):
-                out = mdl.apply(v, w + 1e-12 * carry, m)
-                return jnp.sum(out)
-
-            return jax.lax.fori_loop(0, n_iter, body, jnp.zeros((), jnp.float32))
-
-        return fwd_loop
-
-    loops = {"f32": make_loop(model), "bf16": make_loop(model_bf16)}
+    loops = {
+        "f32": _make_fwd_loop(model, jax, jnp),
+        "bf16": _make_fwd_loop(model_bf16, jax, jnp),
+    }
 
     rng = np.random.default_rng(0)
     best = 0.0
@@ -143,6 +170,87 @@ def main() -> None:
             best, best_bs, best_prec = audio_sec_per_s, bs, prec
             best_spread, best_estimator = spread, estimator
 
+    # ---- model family: bs=1 latency + bs=8 throughput, bf16 -------------
+    # Pins the RTFS-6/12, CTCNet-16 and TDFNet numbers README/design.md
+    # claim into a driver-captured artifact (VERDICT r3 #2).
+    family_stats = {}
+    for cfg_name, key, ref_ms in FAMILY:
+        try:
+            fconf = load_config(cfg_name)
+            fmodel = _dc.replace(
+                build_avnet(fconf), compute_dtype="bfloat16"
+            )
+            fvars = cast_params(
+                jax.device_put(_host_init_params(fmodel, wav1, emb1))
+            )
+            floop = _make_fwd_loop(fmodel, jax, jnp)
+            entry = {}
+            for bs in (1, 8):
+                wav = jnp.asarray(
+                    rng.standard_normal((bs, 32000)).astype(np.float32))
+                emb = jnp.asarray(
+                    rng.standard_normal((bs, 50, 512)).astype(np.float32))
+                dt, spread, estimator = _timed(
+                    floop, fvars, wav, emb, n_iter=20)
+                if bs == 1:
+                    entry["latency_bs1_bf16_ms"] = round(dt * 1e3, 2)
+                    if ref_ms is not None:
+                        entry["ref_ms"] = ref_ms
+                        entry["vs_ref"] = round(ref_ms / (dt * 1e3), 1)
+                else:
+                    entry["throughput_bs8_bf16"] = round(bs * 2.0 / dt, 1)
+                entry.setdefault("spread_pct", round(spread, 1))
+                print(f"# {key} bs={bs} bf16: {dt*1e3:.2f} ms/step "
+                      f"(spread {spread:.1f}%, {estimator})", file=sys.stderr)
+            family_stats[key] = entry
+        except Exception as e:
+            print(f"# family {cfg_name} FAILED: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+
+    # ---- end-to-end serving: mouth frames -> video backbone -> AVNet ----
+    # The reference's inference entry always runs the video model in line
+    # (reference inference.py:23-65); this measures that full pipeline.
+    e2e_stats = {}
+    try:
+        from rtfs_tpu.models.video import make_video_model
+
+        video_model = make_video_model(conf["videonet"])
+        frames1 = jnp.zeros((1, 50, 88, 88), jnp.float32)
+        vvars = jax.device_put(_host_init_params(video_model, frames1))
+
+        def make_e2e_loop(avm):
+            @partial(jax.jit, static_argnames="n_iter")
+            def e2e_loop(av_v, vid_v, wav, frames, n_iter):
+                def body(_, carry):
+                    vemb = video_model.apply(vid_v, frames + 1e-12 * carry)
+                    out = avm.apply(av_v, wav, vemb)
+                    return jnp.sum(out)
+
+                return jax.lax.fori_loop(
+                    0, n_iter, body, jnp.zeros((), jnp.float32)
+                )
+
+            return e2e_loop
+
+        e2e_loop = make_e2e_loop(model_bf16)
+        for bs in (1, 8):
+            wav = jnp.asarray(
+                rng.standard_normal((bs, 32000)).astype(np.float32))
+            frames = jnp.asarray(
+                rng.standard_normal((bs, 50, 88, 88)).astype(np.float32))
+            dt, spread, estimator = _timed(
+                e2e_loop, variables_bf16, vvars, wav, frames, n_iter=20)
+            if bs == 1:
+                e2e_stats["e2e_latency_bs1_bf16_ms"] = round(dt * 1e3, 2)
+            else:
+                e2e_stats["e2e_throughput_bs8_bf16"] = round(bs * 2.0 / dt, 1)
+                e2e_stats["e2e_spread_pct"] = round(spread, 1)
+            print(f"# e2e(video+avnet) bs={bs} bf16: {dt*1e3:.2f} ms/step "
+                  f"(spread {spread:.1f}%, {estimator})", file=sys.stderr)
+    except Exception as e:
+        print(f"# e2e pipeline FAILED: {type(e).__name__}: {e}",
+              file=sys.stderr)
+
     # ---- training step (fwd + bwd + AdamW), f32 and bf16 ----------------
     # Chained methodology: params/opt_state thread through every iteration
     # of one fori_loop, so steps are data-dependent and cannot be
@@ -168,19 +276,34 @@ def main() -> None:
             )
             return pit_loss(pairwise_neg_snr, ests, tgt)
 
+        def step_body(params, bstats, opt_state):
+            grads = jax.grad(loss_fn)(params, bstats)
+            updates, opt_state = opt.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
         @partial(jax.jit, static_argnames="n_iter")
         def train_loop(params, bstats, opt_state, n_iter):
             def body(_, carry):
-                params, opt_state = carry
-                grads = jax.grad(loss_fn)(params, bstats)
-                updates, opt_state = opt.update(grads, opt_state, params)
-                params = optax.apply_updates(params, updates)
-                return params, opt_state
+                return step_body(carry[0], bstats, carry[1])
 
             params, opt_state = jax.lax.fori_loop(
                 0, n_iter, body, (params, opt_state)
             )
             return loss_fn(params, bstats)
+
+        # Profiling variant: bare steps only, terminated by a tiny
+        # param-leaf fetch — no trailing loss eval to contaminate the
+        # per-step GB (ADVICE r3).
+        @partial(jax.jit, static_argnames="n_iter")
+        def prof_loop(params, bstats, opt_state, n_iter):
+            def body(_, carry):
+                return step_body(carry[0], bstats, carry[1])
+
+            params, opt_state = jax.lax.fori_loop(
+                0, n_iter, body, (params, opt_state)
+            )
+            leaf = jax.tree_util.tree_leaves(params)[0]
+            return jnp.sum(leaf.astype(jnp.float32))
 
         bstats = v0.get("batch_stats", {})
         opt_state = opt.init(v0["params"])
@@ -206,12 +329,9 @@ def main() -> None:
             # extra forward), so cost(train_loop(n_iter=1)) overstates a
             # step by ~a forward — it deflated MFU and inflated the
             # roofline fraction past 100% in BENCH_r02.
-            def one_step(params, bstats, opt_state):
-                grads = jax.grad(loss_fn)(params, bstats)
-                updates, opt_state = opt.update(grads, opt_state, params)
-                return optax.apply_updates(params, updates), opt_state
-
-            cost = compiled_cost(one_step, v0["params"], bstats, opt_state)
+            cost = compiled_cost(
+                step_body, v0["params"], bstats, opt_state
+            )
             if cost and np.isfinite(cost["flops"]):
                 mfu = cost["flops"] / dt / V5E_PEAK_BF16_FLOPS
                 train_stats["train_bf16_mfu"] = round(mfu, 4)
@@ -232,8 +352,8 @@ def main() -> None:
                 logdir = tempfile.mkdtemp(prefix="rtfs_bench_prof_")
                 n_prof = 10
                 jax.profiler.start_trace(logdir)
-                float(train_loop(v0["params"], bstats, opt_state,
-                                 n_iter=n_prof))
+                float(prof_loop(v0["params"], bstats, opt_state,
+                                n_iter=n_prof))
                 jax.profiler.stop_trace()
                 recs, async_ps, async_b, peak_gbps = parse_xplane(logdir)
                 dev_ms = sum(r.dur_ps for r in recs.values()) / 1e9 / n_prof
@@ -265,6 +385,8 @@ def main() -> None:
                 "spread_pct": round(best_spread, 1),
                 "estimator": best_estimator,
                 **latency,
+                "family": family_stats,
+                **e2e_stats,
                 **train_stats,
             }
         )

@@ -204,3 +204,39 @@ def pesq(ref: np.ndarray, deg: np.ndarray, fs: int = 16000) -> float:
     d_asy = agg(An)
     mos = 4.5 - 0.1 * d_sym - 0.0309 * d_asy
     return float(np.clip(mos, -0.5, 4.5))
+
+
+# ---------------------------------------------------------------------------
+# ITU-T P.862.1 / P.862.2 mapping: raw P.862 score -> MOS-LQO
+# ---------------------------------------------------------------------------
+#
+# Published logistic constants (P.862.1 §4 eq. 1 for narrowband;
+# P.862.2 Annex A for wideband):
+#   nb:  y = 0.999 + 4.0 / (1 + exp(-1.4945 x + 4.6607))
+#   wb:  y = 0.999 + 4.0 / (1 + exp(-1.3669 x + 3.8224))
+# The standard's own text pins the curve's operating range: the raw-score
+# domain [-0.5, 4.5] maps to MOS-LQO ~[1.02, 4.55] (nb) / ~[1.04, 4.64]
+# (wb). tests/test_metrics.py asserts those endpoint anchors and the
+# round-trip through the published inverse (P.862.1 eq. 2).
+
+_P8621 = {"nb": (-1.4945, 4.6607), "wb": (-1.3669, 3.8224)}
+
+
+def mos_lqo(raw: float, mode: str = "nb") -> float:
+    """Map a raw P.862 score to MOS-LQO via the P.862.1/.2 logistic."""
+    a, b = _P8621[mode]
+    return float(0.999 + 4.0 / (1.0 + np.exp(a * float(raw) + b)))
+
+
+def mos_lqo_inverse(y: float, mode: str = "nb") -> float:
+    """Published inverse mapping (P.862.1 eq. 2): MOS-LQO -> raw score."""
+    a, b = _P8621[mode]
+    y = float(np.clip(y, 0.999 + 1e-9, 4.999 - 1e-9))
+    return float((b - np.log(4.0 / (y - 0.999) - 1.0)) / (-a))
+
+
+def pesq_lqo(ref: np.ndarray, deg: np.ndarray, fs: int = 16000,
+             mode: str = "nb") -> float:
+    """PESQ mapped to MOS-LQO (P.862.1 nb / P.862.2 wb constants)."""
+    raw = pesq(ref, deg, fs)
+    return float("nan") if np.isnan(raw) else mos_lqo(raw, mode)

@@ -715,7 +715,10 @@ class AVNet(nn.Module):
         with L.batch_fold(bf):
             embedding_f = L.fold_batch(embedding, bf)
             audio = self.audio_bottleneck(embedding_f, train)
-            if self.tf_sharding is not None and audio.ndim == 4 and bf == 1:
+            # Under batch_fold the TF map is (B/f, T, F, f*C) — same axis
+            # meanings, so the same PartitionSpec applies (ADVICE r3: the
+            # old `bf == 1` guard silently dropped the constraint).
+            if self.tf_sharding is not None and audio.ndim == 4:
                 audio = jax.lax.with_sharding_constraint(
                     audio, self.tf_sharding
                 )
@@ -727,7 +730,7 @@ class AVNet(nn.Module):
                 with L.batch_fold(1):  # video path stays unfolded
                     video = self.video_bottleneck(mouth_embedding, train)
             refined = self.refinement_module(audio, video, train)
-            if self.tf_sharding is not None and refined.ndim == 4 and bf == 1:
+            if self.tf_sharding is not None and refined.ndim == 4:
                 refined = jax.lax.with_sharding_constraint(
                     refined, self.tf_sharding
                 )

@@ -32,6 +32,7 @@ from __future__ import annotations
 
 import contextlib
 import math
+import threading
 from typing import Any, Callable, Optional, Sequence
 
 import jax
@@ -97,23 +98,24 @@ def torch_conv_bias_init(fan_in: int):
 # plain layout (the globalatt stack, the video path, cross-modal fusion)
 # re-enter ``batch_fold(1)`` around an unfold/refold island.
 
-_BATCH_FOLD = 1
+# Thread-local (ADVICE r3): tracing a second model concurrently from
+# another thread must not see this trace's fold factor.
+_FOLD_STATE = threading.local()
 
 
 @contextlib.contextmanager
 def batch_fold(f: int):
     """Run the enclosed module applications with batch-fold factor f."""
-    global _BATCH_FOLD
-    old = _BATCH_FOLD
-    _BATCH_FOLD = int(f)
+    old = getattr(_FOLD_STATE, "fold", 1)
+    _FOLD_STATE.fold = int(f)
     try:
         yield
     finally:
-        _BATCH_FOLD = old
+        _FOLD_STATE.fold = old
 
 
 def fold_factor() -> int:
-    return _BATCH_FOLD
+    return getattr(_FOLD_STATE, "fold", 1)
 
 
 def fold_batch(x: jax.Array, f: int) -> jax.Array:
@@ -223,7 +225,10 @@ class LayerNormalization4D(nn.Module):
     @nn.compact
     def __call__(self, x):
         # x: (B, T, F, C); n_freqs == 1 means per-(B,T,F) channel stats.
-        if fold_factor() > 1 and x.shape[-1] != self.features:
+        # Unconditional guard (ADVICE r3): a folded tensor whose f*C
+        # happens to equal `features` would otherwise silently mix the
+        # folded batch pair into the statistics.
+        if fold_factor() > 1:
             raise NotImplementedError(
                 "LayerNormalization4D under batch_fold: wrap the caller in "
                 "an unfold island (layers.batch_fold(1))"
@@ -259,7 +264,7 @@ class BatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        if fold_factor() > 1 and x.shape[-1] != self.features:
+        if fold_factor() > 1:
             raise NotImplementedError(
                 "BatchNorm under batch_fold: keep BN paths (video net) in "
                 "an unfold island (layers.batch_fold(1))"
@@ -279,7 +284,7 @@ class TorchLayerNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        if fold_factor() > 1 and x.shape[-1] != self.features:
+        if fold_factor() > 1:
             raise NotImplementedError(
                 "TorchLayerNorm under batch_fold: wrap the caller in an "
                 "unfold island (layers.batch_fold(1))"

@@ -169,6 +169,47 @@ def test_pesq_regression_fixtures():
         assert v == pytest.approx(expected[k], abs=0.02), (k, v, expected[k])
 
 
+def test_p862_1_mapping_anchors():
+    """P.862.1/.2 logistic mapping pinned to the standards' own anchors.
+
+    The published curves (P.862.1 §4 eq. 1, P.862.2 Annex A) map the raw
+    score domain [-0.5, 4.5] to MOS-LQO [1.017, 4.549] (narrowband) and
+    [1.043, 4.644] (wideband); these endpoint values follow directly from
+    the published constants and are quoted in the standards' text as the
+    mapping's operating range (VERDICT r3 #8)."""
+    from rtfs_tpu.metrics.pesq_np import mos_lqo, mos_lqo_inverse
+
+    # narrowband endpoints
+    assert mos_lqo(4.5, "nb") == pytest.approx(4.5489, abs=1e-3)
+    assert mos_lqo(-0.5, "nb") == pytest.approx(1.0168, abs=1e-3)
+    # wideband endpoints
+    assert mos_lqo(4.5, "wb") == pytest.approx(4.6439, abs=1e-3)
+    assert mos_lqo(-0.5, "wb") == pytest.approx(1.0427, abs=1e-3)
+    # strict monotonicity over the domain
+    for mode in ("nb", "wb"):
+        ys = [mos_lqo(x, mode) for x in np.linspace(-0.5, 4.5, 21)]
+        assert all(b > a for a, b in zip(ys, ys[1:]))
+        # round-trip through the published inverse (P.862.1 eq. 2)
+        for x in (-0.5, 0.0, 1.5, 3.0, 4.5):
+            assert mos_lqo_inverse(mos_lqo(x, mode), mode) == pytest.approx(
+                x, abs=1e-6
+            )
+
+
+def test_pesq_lqo_tracks_raw():
+    """MOS-LQO scores preserve the raw scores' ordering end-to-end."""
+    from rtfs_tpu.metrics.pesq_np import mos_lqo, pesq_lqo
+
+    clean = _speechlike(seconds=2.0, seed=3)
+    raw_good = pesq(clean, _at_snr(clean, 25.0), SR)
+    raw_bad = pesq(clean, _at_snr(clean, 0.0), SR)
+    lqo_good = pesq_lqo(clean, _at_snr(clean, 25.0), SR)
+    lqo_bad = pesq_lqo(clean, _at_snr(clean, 0.0), SR)
+    assert lqo_good == pytest.approx(mos_lqo(raw_good), abs=1e-9)
+    assert lqo_bad == pytest.approx(mos_lqo(raw_bad), abs=1e-9)
+    assert lqo_good > lqo_bad
+
+
 # ------------------------------------------------------- tracker wiring
 
 
