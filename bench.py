@@ -351,6 +351,10 @@ def main() -> None:
 
                 logdir = tempfile.mkdtemp(prefix="rtfs_bench_prof_")
                 n_prof = 10
+                # compile OUTSIDE the trace: compiling through the tunnel
+                # with an active profiler has crashed the process before
+                float(prof_loop(v0["params"], bstats, opt_state,
+                                n_iter=n_prof))
                 jax.profiler.start_trace(logdir)
                 float(prof_loop(v0["params"], bstats, opt_state,
                                 n_iter=n_prof))

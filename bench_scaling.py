@@ -74,6 +74,31 @@ def bench_n_devices(n_dev: int, per_device_batch: int, wav_len: int,
     rng_dev = replicate(mesh, jax.random.PRNGKey(0))
 
     system.compile()
+    # Collective-volume audit (VERDICT r3 #7): count the collectives XLA
+    # SPMD inserted into THIS width's compiled module and their total
+    # element volume — the per-device communication cost that determines
+    # scaling, measurable even on a virtual mesh.
+    coll = {}
+    try:
+        import os
+        import sys as _sys
+
+        _sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from tools.analyze_tp_collectives import analyze
+
+        hlo = system._train_step.lower(
+            state, sbatch, replicate(mesh, jax.random.PRNGKey(0))
+        ).compile().as_text()
+        counts, sized, _ = analyze(hlo)
+        coll = {
+            "collective_ops": sum(counts.values()),
+            "collective_M_elements_per_device": round(
+                sum(sized.values()) / 1e6, 3
+            ),
+        }
+    except Exception as e:  # audit is best-effort; never kill the bench
+        coll = {"collective_audit_error": f"{type(e).__name__}: {e}"}
+
     state, m = system.train_step(state, sbatch, rng_dev)  # compile
     float(m["train_loss"])  # host fetch: forces real completion
     t0 = time.perf_counter()
@@ -94,7 +119,7 @@ def bench_n_devices(n_dev: int, per_device_batch: int, wav_len: int,
         # comparable to the whole loop; fall back to the plain mean
         dt = total / n_iter
     audio_sec = b * (wav_len / 16000.0)
-    return audio_sec / dt / n_dev  # audio-sec/s/chip
+    return audio_sec / dt / n_dev, coll  # (audio-sec/s/chip, audit)
 
 
 def main():
@@ -130,11 +155,14 @@ def main():
         {1, 2, n_total} & set(range(1, n_total + 1))
     )
     results = {}
+    audits = {}
     for n in dev_counts:
-        thr = bench_n_devices(n, args.per_device_batch, args.wav_len,
-                              n_iter=args.n_iter)
+        thr, coll = bench_n_devices(n, args.per_device_batch, args.wav_len,
+                                    n_iter=args.n_iter)
         results[n] = thr
-        print(f"# {n} devices: {thr:.1f} audio-sec/s/chip", flush=True)
+        audits[str(n)] = coll
+        print(f"# {n} devices: {thr:.1f} audio-sec/s/chip, "
+              f"collectives: {coll}", flush=True)
     base = results[min(results)]
     eff = {n: results[n] / base for n in results}
     platform = jax.devices()[0].platform
@@ -153,6 +181,11 @@ def main():
         "total_speedup": {
             str(n): round(results[n] * n / base, 3) for n in results
         },
+        # per-device collective volume per step at each width: the DP
+        # gradient all-reduce volume should stay ~constant per device
+        # (ring all-reduce), which is what makes >=80% weak scaling
+        # plausible on real ICI
+        "collectives_per_device": audits,
     }
     if platform == "cpu":
         out["note"] = ("virtual CPU mesh: functional validation only; "

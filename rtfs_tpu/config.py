@@ -54,4 +54,5 @@ def build_avnet(conf: Dict[str, Any]) -> AVNet:
         video_params=a.get("video_params", {}),
         fusion_params=a.get("fusion_params", {}),
         compute_dtype=a.get("compute_dtype", "float32"),
+        packed_tf=a.get("packed_tf", False),
     )

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import convops
+from ..ops import packed_tf as PTF
 from ..ops import stft as stft_ops
 from . import layers as L
 from .fusion_layers import (
@@ -612,6 +613,14 @@ class AVNet(nn.Module):
     # computation-layout choice: parameters and numerics are unchanged
     # (pinned by tests/test_batch_fold.py).
     batch_fold: int = 1
+    # Packed time-frequency layout (ops/packed_tf.py): run the RTFS
+    # block's full-resolution 64-channel segment on (B, T, F*C) maps via
+    # Pallas kernels, removing the 2x HBM lane-padding tax that
+    # batch_fold targeted but lost to XLA retiling (docs/design.md §8).
+    # Pure layout choice; parameters and numerics unchanged (pinned by
+    # tests/test_packed_tf.py model-level parity). Mutually exclusive
+    # with batch_fold > 1.
+    packed_tf: bool = False
 
     def setup(self):
         edp = dict(self.enc_dec_params)
@@ -708,6 +717,8 @@ class AVNet(nn.Module):
                 f"batch_fold={bf} requires batch % {bf} == 0, got "
                 f"{audio_mixture.shape[0]}"
             )
+        if self.packed_tf and bf > 1:
+            raise ValueError("packed_tf and batch_fold>1 are exclusive")
         embedding = self.encoder(audio_mixture, train)  # (B,T,(F,),C)
         if dtype != jnp.float32:
             embedding = embedding.astype(dtype)
@@ -729,7 +740,33 @@ class AVNet(nn.Module):
             else:
                 with L.batch_fold(1):  # video path stays unfolded
                     video = self.video_bottleneck(mouth_embedding, train)
-            refined = self.refinement_module(audio, video, train)
+            # Derive the DualPathRNN folded-scan sharding from tf_sharding:
+            # the folded (B*other, scan, C) batch shards over the data AND
+            # model axes jointly, keeping the sequential scans local
+            # (TP_ANALYSIS r3 -> r4).
+            scan_sh = None
+            if self.tf_sharding is not None:
+                try:
+                    from jax.sharding import (
+                        NamedSharding, PartitionSpec as PSpec,
+                    )
+
+                    spec = self.tf_sharding.spec
+                    axes = tuple(
+                        a for a in (spec[0] if len(spec) > 0 else None,
+                                    spec[2] if len(spec) > 2 else None)
+                        if a is not None
+                    )
+                    if axes:
+                        scan_sh = NamedSharding(
+                            self.tf_sharding.mesh,
+                            PSpec(axes if len(axes) > 1 else axes[0],
+                                  None, None),
+                        )
+                except (AttributeError, TypeError):
+                    scan_sh = None
+            with PTF.packed_scope(self.packed_tf), L.scan_sharding(scan_sh):
+                refined = self.refinement_module(audio, video, train)
             if self.tf_sharding is not None and refined.ndim == 4:
                 refined = jax.lax.with_sharding_constraint(
                     refined, self.tf_sharding

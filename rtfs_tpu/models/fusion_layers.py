@@ -13,6 +13,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops import convops
+from ..ops import packed_tf as P
 from . import layers as L
 
 
@@ -50,6 +51,23 @@ class InjectionMultiSum(nn.Module):
         new_shape = _spatial(local_features)
 
         local_emb = dw_conv()(local_features, train)
+
+        if isinstance(local_features, P.PackedTF):
+            # packed full-res local + rank-4 pooled global: embed/gate at
+            # the pooled resolution (same branch as the reference's
+            # prod(new) > prod(old) case), then nearest-upsample straight
+            # into the packed layout — the interpolated full-res maps are
+            # never materialized in the padded rank-4 form.
+            assert int(np.prod(new_shape)) > int(np.prod(old_shape))
+            t_out, f_out = new_shape
+            global_emb = P.spatial_up_to(
+                dw_conv()(global_features, train), t_out, f_out
+            )
+            gate = P.spatial_up_to(
+                dw_conv("Sigmoid")(global_features, train), t_out, f_out
+            )
+            return local_emb * gate + global_emb
+
         if int(np.prod(new_shape)) > int(np.prod(old_shape)):
             global_emb = convops.interp_nearest(
                 dw_conv()(global_features, train), new_shape

@@ -41,6 +41,7 @@ import numpy as np
 from flax import linen as nn
 
 from ..ops import convops
+from ..ops import packed_tf as P
 
 
 # --------------------------------------------------------------------------
@@ -118,6 +119,30 @@ def fold_factor() -> int:
     return getattr(_FOLD_STATE, "fold", 1)
 
 
+@contextlib.contextmanager
+def scan_sharding(sharding):
+    """Sharding constraint for the DualPathRNN's folded scan batches.
+
+    Under a DP x TP mesh the naive F-shard propagates INTO the sequential
+    F-scan (per-step collective-permutes + while-body all-gathers,
+    TP_ANALYSIS_r03). Setting this context to
+    NamedSharding(mesh, P(("data", "model"), None, None)) makes every
+    DualPathRNN constrain its folded (B*other_axis, scan_axis, C) input so
+    the combined batch axis shards over BOTH mesh axes: the scan runs
+    entirely local and resharding happens once per block edge instead of
+    per scan step."""
+    old = getattr(_FOLD_STATE, "scan_sharding", None)
+    _FOLD_STATE.scan_sharding = sharding
+    try:
+        yield
+    finally:
+        _FOLD_STATE.scan_sharding = old
+
+
+def scan_sharding_value():
+    return getattr(_FOLD_STATE, "scan_sharding", None)
+
+
 def fold_batch(x: jax.Array, f: int) -> jax.Array:
     """(B, *spatial, C) -> (B//f, *spatial, f*C), batch-major groups."""
     if f == 1:
@@ -173,6 +198,12 @@ class GlobalLayerNorm(nn.Module):
     def __call__(self, x):
         gamma = self.param("scale", nn.initializers.ones, (self.features,))
         beta = self.param("bias", nn.initializers.zeros, (self.features,))
+        if isinstance(x, P.PackedTF):
+            assert x.c == self.features
+            return P.PackedTF(
+                P.gln_packed(x.data, gamma, beta, F=x.f, eps=self.eps),
+                x.f, x.c,
+            )
         f = fold_factor()
         if f > 1 and x.shape[-1] == f * self.features:
             # batch-fold: statistics per (batch row, fold group) — exactly
@@ -363,11 +394,21 @@ def _apply_norm(norm, x, train: bool):
         return x
     if isinstance(norm, BatchNorm):
         return norm(x, train=train)
+    if isinstance(x, P.PackedTF) and not isinstance(norm, GlobalLayerNorm):
+        raise NotImplementedError(
+            f"packed_tf: norm {type(norm).__name__} on a packed map"
+        )
     return norm(x)
 
 
 def _apply_act(act, x):
-    return act(x) if act is not None else x
+    if act is None:
+        return x
+    if isinstance(x, P.PackedTF):
+        # activations are elementwise: apply on the packed data directly
+        # (PReLU's scalar slope broadcasts over any layout)
+        return P.PackedTF(act(x.data), x.f, x.c)
+    return act(x)
 
 
 # --------------------------------------------------------------------------
@@ -426,6 +467,9 @@ class Conv(nn.Module):
             fan_in = int(np.prod(kshape[:-1]))
             b = self.param("bias", torch_conv_bias_init(fan_in), (self.out_chan,))
 
+        if isinstance(x, (P.PackedTF, P.PackRequest)):
+            return self._packed_call(x, kernel, w, b)
+
         f = fold_factor()
         if f > 1:
             # batch-fold: input is (B/f, *sp, f*in_chan); every group of
@@ -478,6 +522,68 @@ class Conv(nn.Module):
             dilation=self.dilation,
             groups=self.groups,
             bias=b,
+        )
+
+    def _packed_call(self, x, kernel, w, b):
+        """Packed-TF dispatch (ops/packed_tf.py): same params, packed
+        (B, T, F*C) layout kernels for the RTFS block's full-resolution
+        segment. Covers exactly the shapes that segment uses."""
+        interp = P.use_interpret()
+        stride = self.stride if not hasattr(self.stride, "__len__") else (
+            self.stride[0]
+        )
+        if self.dilation != 1 and self.dilation != (1, 1):
+            raise NotImplementedError("packed_tf: dilation unsupported")
+        if isinstance(x, P.PackRequest):
+            # packed-world entry: 1x1 dense projection, emit packed
+            assert self.groups == 1 and all(k == 1 for k in kernel) \
+                and stride == 1 and self.nd == 2
+            x4 = x.data
+            wm = w.reshape(self.in_chan, self.out_chan)
+            out = P.pw_proj_packed(x4.astype(w.dtype), wm, b, interp)
+            return P.PackedTF(out, x4.shape[2], self.out_chan)
+        # x is PackedTF
+        xd = x.data.astype(w.dtype)
+        if all(k == 1 for k in kernel) and self.groups == 1 and stride == 1:
+            # 1x1 dense on a packed map: packed-world exit to rank-4
+            wm = w.reshape(self.in_chan, self.out_chan)
+            return P.pw_unproj_packed(xd, wm, b, x.f, interp)
+        if (
+            self.groups == self.in_chan
+            and self.out_chan == self.in_chan
+            and self.nd == 2
+            and all(k > 1 for k in kernel)
+        ):
+            # depthwise kT x kF conv (stride 1 'same' or stride-2 int pad)
+            kt, kf = kernel
+            if self.padding == "same":
+                pads_t = ((kt - 1) // 2, kt - 1 - (kt - 1) // 2)
+                pads_f = ((kf - 1) // 2, kf - 1 - (kf - 1) // 2)
+            elif isinstance(self.padding, int):
+                pads_t = (self.padding, self.padding)
+                pads_f = (self.padding, self.padding)
+            else:
+                raise NotImplementedError(
+                    f"packed_tf: padding {self.padding}"
+                )
+            wd = w.reshape(kt, kf, self.out_chan)
+            out = P.dw_conv_packed(
+                xd, wd, b, x.f, x.c, pads_t, pads_f, (kt, kf), interp
+            )
+            b_, t, f, c = x.shape
+            t_conv = t + sum(pads_t) - kt + 1
+            f_conv = f + sum(pads_f) - kf + 1
+            y = P.PackedTF(out, f_conv, x.c)
+            if stride == 1:
+                return y
+            if stride == 2:
+                # torch output size, then select conv_s1[2 i]
+                t_out = (t + sum(pads_t) - kt) // 2 + 1
+                f_out = (f + sum(pads_f) - kf) // 2 + 1
+                return P.dw_stride2_from(y, t_out, f_out)
+        raise NotImplementedError(
+            f"packed_tf: conv k={kernel} groups={self.groups} "
+            f"stride={self.stride} has no packed lowering"
         )
 
 

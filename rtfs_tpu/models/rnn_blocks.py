@@ -121,6 +121,16 @@ class DualPathRNN(nn.Module):
         # Fold the non-scanned axis (F) into batch: (B*new_F, new_T, C).
         x = x.transpose(0, 2, 1, 3).reshape(b * new_f, new_t, c)
 
+        # Under a DP x TP mesh, shard the FOLDED batch over both axes so
+        # the sequential scan never sees a sharded scan axis (the r3
+        # audit showed per-step collective-permutes otherwise) — see
+        # layers.scan_sharding.
+        scan_sh = L.scan_sharding_value()
+        if scan_sh is not None:
+            import jax
+
+            x = jax.lax.with_sharding_constraint(x, scan_sh)
+
         unfolded = c * ks
         num_dir = 2 if self.bidirectional else 1
         if self.rnn_type == "SRU":

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops import convops
+from ..ops import packed_tf as P
 from . import layers as L
 from .attention import (
     GlobalAttention,
@@ -147,7 +148,23 @@ class TDANetBlock(nn.Module):
 
     def __call__(self, x, train: bool = False):
         residual = self.gateway(x, train)
-        x_enc = self.projection(residual, train)
+
+        # Packed-TF layout (ops/packed_tf.py): the full-resolution
+        # 64-channel segment of the block runs on (B, T, F*C) maps so the
+        # minor dim is 128-lane aligned (no 2x HBM padding). Entered at
+        # the projection, exited at the stride-2 downsample / pool /
+        # residual conv. Pure layout choice; parameters unchanged.
+        packed = (
+            P.packed_enabled()
+            and self.is2d
+            and L.fold_factor() == 1
+            and not isinstance(x, P.PackedTF)
+            and self.kernel_size > 1
+            and self.stride == 2
+        )
+        x_enc = self.projection(
+            P.PackRequest(residual) if packed else residual, train
+        )
 
         downsampled = [self.downsample_layers[0](x_enc, train)]
         for i in range(1, self.upsampling_depth):
@@ -156,7 +173,10 @@ class TDANetBlock(nn.Module):
         # Global pooling to the deepest resolution, then sum.
         target = downsampled[-1].shape[1:-1]
         global_features = sum(
-            convops.adaptive_avg_pool(f, target) for f in downsampled
+            P.adaptive_pool_from(f, *target)
+            if isinstance(f, P.PackedTF)
+            else convops.adaptive_avg_pool(f, target)
+            for f in downsampled
         )
 
         # globalatt (DualPathRNN / MHSA2D) runs UNFOLDED: its scans and
