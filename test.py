@@ -30,7 +30,10 @@ def main(args):
     exp_dir = os.path.dirname(os.path.abspath(args.conf_dir))
 
     model = build_avnet(conf)
-    video_model = make_video_model(conf["videonet"])
+    # audio-only eval (reference System(video_model=None)): n_src>=2
+    # separation models trained without a lip backbone
+    audio_only = not conf.get("videonet")
+    video_model = None if audio_only else make_video_model(conf["videonet"])
 
     bundle_path = args.model or os.path.join(exp_dir, "best_model.bin")
     bundle = load_exported(bundle_path)
@@ -63,6 +66,8 @@ def main(args):
 
     @jax.jit
     def forward(wav, mouth):
+        if video_model is None:
+            return model.apply(variables, wav, None)
         emb = video_model.apply(video_variables, mouth)
         return model.apply(variables, wav, emb)
 

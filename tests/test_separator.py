@@ -165,3 +165,136 @@ def test_separate_long_real_model_smoke():
                         segment_samples=SEG)
     assert out.shape == (conf["audionet"]["n_src"], L)
     assert np.all(np.isfinite(out))
+
+
+@pytest.mark.slow
+def test_separate_long_real_trained_model_full_vs_chunked():
+    """The REAL trained flagship, full-length vs chunked (VERDICT r3 #5).
+
+    A trained RTFS-Net-4 bundle (tests/fixtures/, r04_synth_convergence
+    epoch 54, val SI-SNR 20.4 dB) separates a 6 s mixture once at full
+    length (one big jitted forward) and once through ``separate_long``'s
+    2 s / 50%-overlap serving path. The stitched output must agree with
+    the full pass to the model's own context sensitivity: gLN statistics
+    are per-utterance, so bit-equality is impossible by construction —
+    the pinned contract is >=20 dB SI-SNR and >=0.995 correlation against
+    the full pass (measured 27.7 dB / 0.9991 at fixture creation), which
+    an unstable PIT permutation or a broken cross-fade would demolish.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from rtfs_tpu.config import build_avnet
+    from rtfs_tpu.train.checkpoints import load_exported
+    from rtfs_tpu.utils.separator import _energy_renormalize
+
+    b = load_exported("tests/fixtures/r04_rtfsnet4_avnet.bundle")
+    model = build_avnet({"audionet": b["model_args"]})
+    variables = {
+        "params": b["state"]["params"],
+        "batch_stats": b["state"].get("batch_stats", {}),
+    }
+    L = 6 * SR
+    rng = np.random.default_rng(0)
+
+    def long_speech(seed):
+        r = np.arange(L) / SR
+        f0 = 110 + 30 * np.sin(2 * np.pi * 0.5 * r + seed)
+        ph = 2 * np.pi * np.cumsum(f0) / SR
+        x = sum(np.sin(k * ph) / k for k in range(1, 6))
+        x = x * (0.5 + 0.5 * np.sin(2 * np.pi * 3.0 * r + seed) ** 2)
+        return (x / x.std()).astype(np.float32)
+
+    mix = (long_speech(1) + long_speech(2)).astype(np.float32) * 0.1
+    emb = rng.standard_normal((150, 512)).astype(np.float32)
+
+    full = np.asarray(
+        jax.jit(model.apply)(
+            variables, jnp.asarray(mix[None]), jnp.asarray(emb[None])
+        )
+    )
+    full = _energy_renormalize(full, mix[None])[0]
+    chunked = separate_long(model, variables, mix, mouth_emb=emb,
+                            segment_samples=SEG)
+    assert chunked.shape == full.shape
+
+    for i in range(full.shape[0]):
+        est, ref = chunked[i], full[i]
+        est0, ref0 = est - est.mean(), ref - ref.mean()
+        s = (est0 @ ref0) / (ref0 @ ref0) * ref0
+        sisnr = 10 * np.log10(float(s @ s) / float((est0 - s) @ (est0 - s)))
+        corr = float(np.corrcoef(est, ref)[0, 1])
+        assert sisnr > 20.0, (i, sisnr)
+        assert corr > 0.995, (i, corr)
+
+
+@pytest.mark.slow
+def test_separate_long_real_2src_permutation_stable():
+    """n_src=2: a trained audio-only 2-source separation model
+    (tests/fixtures/, r04_synth_convergence_2src, val SI-SNR 15.2 dB)
+    serves a 6 s two-speaker mixture built from the SAME synthetic
+    speaker bank it was trained on. The chunked output must (a) agree
+    with the full-length pass under ONE global permutation — a PIT flip
+    at any chunk boundary would collapse one source's score — and (b)
+    genuinely separate (score vs the true sources well above 0 dB), so
+    (a) is not vacuously satisfied by near-mixture outputs. Measured at
+    fixture creation: 17.1/17.6 dB vs full, 9.8/7.8 dB vs truth.
+    """
+    import itertools
+    import os
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from rtfs_tpu.config import build_avnet
+    from rtfs_tpu.train.checkpoints import load_exported
+    from rtfs_tpu.utils.separator import _energy_renormalize
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "tools"))
+    from make_synth_corpus import speaker_bank, utterance
+
+    b = load_exported("tests/fixtures/r04_rtfsnet4_2src_avnet.bundle")
+    model = build_avnet({"audionet": b["model_args"]})
+    variables = {
+        "params": b["state"]["params"],
+        "batch_stats": b["state"].get("batch_stats", {}),
+    }
+    bank = speaker_bank(20, np.random.default_rng(0))  # the corpus bank
+    urng = np.random.default_rng(42)
+
+    def long_src(spk):
+        return np.concatenate([utterance(spk, urng)[0] for _ in range(3)])
+
+    s1, s2 = long_src(bank[0]), long_src(bank[7])
+    mix = (s1 + s2).astype(np.float32)
+
+    full = np.asarray(
+        jax.jit(lambda v, w: model.apply(v, w, None))(
+            variables, jnp.asarray(mix[None])
+        )
+    )
+    full = _energy_renormalize(full, mix[None])[0]
+    chunked = separate_long(model, variables, mix, mouth_emb=None,
+                            segment_samples=SEG)
+    assert chunked.shape == (2, len(mix))
+
+    def si_snr(est, ref):
+        est = est - est.mean()
+        ref = ref - ref.mean()
+        s = (est @ ref) / (ref @ ref) * ref
+        return 10 * np.log10(float(s @ s) / float((est - s) @ (est - s)))
+
+    # (a) one global permutation explains the whole stitched output
+    best = max(
+        (min(si_snr(chunked[p[i]], full[i]) for i in range(2))
+         for p in itertools.permutations(range(2))),
+    )
+    assert best > 14.0, best
+    # (b) the model is genuinely separating on this input
+    sep = max(
+        (min(si_snr(chunked[p[0]], s1), si_snr(chunked[p[1]], s2))
+         for p in itertools.permutations(range(2))),
+    )
+    assert sep > 5.0, sep
