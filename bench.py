@@ -129,9 +129,18 @@ def main() -> None:
 
     from functools import partial
 
+    # packed-TF layout (ops/packed_tf.py): loses at batch>=8 (fusion-break
+    # bytes) but WINS bs=1 latency — XLA's depthwise convs cost the same
+    # at bs 1 as bs 8 (dispatch-bound), the packed kernels don't. Measured
+    # r4: 4.7 vs 5.9 ms. Benched as the serving-latency configuration.
+    model_packed = _dc.replace(
+        model, compute_dtype="bfloat16", packed_tf=True
+    )
+
     loops = {
         "f32": _make_fwd_loop(model, jax, jnp),
         "bf16": _make_fwd_loop(model_bf16, jax, jnp),
+        "bf16_packed": _make_fwd_loop(model_packed, jax, jnp),
     }
 
     rng = np.random.default_rng(0)
@@ -141,8 +150,8 @@ def main() -> None:
     best_spread = 0.0
     best_estimator = ""
     latency = {}
-    for bs, prec in ((1, "f32"), (1, "bf16"), (8, "f32"), (8, "bf16"),
-                     (16, "bf16"), (32, "bf16")):
+    for bs, prec in ((1, "f32"), (1, "bf16"), (1, "bf16_packed"),
+                     (8, "f32"), (8, "bf16"), (16, "bf16"), (32, "bf16")):
         v = variables if prec == "f32" else variables_bf16
         wav = jnp.asarray(rng.standard_normal((bs, 32000)).astype(np.float32))
         emb = jnp.asarray(

@@ -27,6 +27,10 @@ def main():
     parser.add_argument("--model", default=None)
     parser.add_argument("--out-dir", default="separated")
     parser.add_argument("--cpu", action="store_true", help="force CPU backend")
+    parser.add_argument(
+        "--packed-tf", action="store_true",
+        help="packed-TF Pallas kernels: lower single-utterance TPU latency",
+    )
     args = parser.parse_args()
 
     import jax
@@ -47,6 +51,12 @@ def main():
     exp_dir = os.path.dirname(os.path.abspath(args.conf_dir))
 
     model = build_avnet(conf)
+    if args.packed_tf:
+        # single-utterance serving: the packed-TF kernel path cuts bs=1
+        # latency ~21% on TPU (ops/packed_tf.py; loses at batch >= 8)
+        import dataclasses
+
+        model = dataclasses.replace(model, packed_tf=True)
     video_model = make_video_model(conf["videonet"])
     bundle = load_exported(args.model or os.path.join(exp_dir, "best_model.bin"))
     state = bundle["state"]
