@@ -62,13 +62,27 @@ FAMILY = (
 )
 
 
-def _timed(fn, *args, n_iter: int, repeats: int = REPEATS):
+def _timed(fn, *args, n_iter: int, repeats: int = REPEATS,
+           retries: int = 1):
     """Median per-step seconds of a chained n_iter loop + estimator info.
 
     fn(*args, 1) and fn(*args, n_iter) must be the compiled 1-iter and
     N-iter variants (compiled on first call). Returns
-    (dt_median, spread_pct, estimator) or raises.
+    (dt_median, spread_pct, estimator) or raises. Transient tunnel/compile
+    failures are retried once so a flaky remote-compile RPC does not drop
+    a row from the capture.
     """
+    for attempt in range(retries + 1):
+        try:
+            return _timed_once(fn, *args, n_iter=n_iter, repeats=repeats)
+        except Exception:
+            if attempt == retries:
+                raise
+            print("# _timed transient failure, retrying", file=sys.stderr)
+            time.sleep(5.0)
+
+
+def _timed_once(fn, *args, n_iter: int, repeats: int = REPEATS):
     float(fn(*args, 1))       # compile 1-iter
     float(fn(*args, n_iter))  # compile N-iter
     overheads, totals = [], []
