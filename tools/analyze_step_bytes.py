@@ -1,0 +1,227 @@
+"""Algorithmic HBM byte floor for the flagship bf16 train step.
+
+VERDICT r3 item 1 allowed an alternative "done" criterion for the train
+throughput work: "a committed profile showing bytes/step within ~10% of a
+written-down algorithmic minimum". This tool WRITES DOWN that minimum.
+
+Method: trace ONE optimizer step (fwd + bwd + adamw) to a closed jaxpr and
+walk every equation (recursing through pjit/scan/while/custom-vjp bodies,
+multiplying scan-body traffic by trip count). Two tiers:
+
+  Tier 1 (ideal fusion): only conv_general_dilated / dot_general /
+    pallas_call equations move HBM bytes — each pays its operand + result
+    footprint at the traced dtype; every elementwise / reduce / reshape /
+    concat op fuses into a producer or consumer for free. This is an
+    unreachable lower bound: XLA cannot fuse across normalization-stat
+    dependencies, concatenates, or scan boundaries.
+
+  Tier 2 (+ norm-forced traffic): each normalization with cross-map
+    statistics (gLN / LN4D: reduce over T*F*C per sample) forces ONE extra
+    read of its input — the stats reduce can fuse into the producer, but
+    the normalize pass needs x again AFTER the stats complete, and that
+    second read cannot fuse with the first. Tier 2 adds one input-read per
+    reduce equation whose reduction is a norm-stat shape (detected as
+    f32 reductions over >=2 axes of a >=3D operand).
+
+Compare against the profiler-measured bytes/step (bench.py captures
+~52 GB): measured / tier2 is the honest "distance from algorithmic
+minimum" figure for docs/design.md.
+
+Usage: python tools/analyze_step_bytes.py  (runs on CPU; trace only)
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+from functools import partial
+
+sys.path.insert(0, ".")
+
+BYTE_PRIMS = {"conv_general_dilated", "dot_general"}
+# pallas kernels: operands+outputs are the kernel's designed HBM footprint
+PALLAS_PRIMS = {"pallas_call"}
+
+
+def aval_bytes(aval):
+    import numpy as np
+
+    if not hasattr(aval, "shape"):
+        return 0
+    return int(np.prod(aval.shape, dtype=np.int64)) * aval.dtype.itemsize
+
+
+def eqn_io_bytes(eqn):
+    b = sum(aval_bytes(v.aval) for v in eqn.invars if hasattr(v, "aval"))
+    b += sum(aval_bytes(v.aval) for v in eqn.outvars)
+    return b
+
+
+def is_norm_stat_reduce(eqn):
+    """f32 reduction collapsing >=2 axes of a >=3D operand = norm stats."""
+    if not eqn.primitive.name.startswith("reduce_sum"):
+        return False
+    (inv,) = [v for v in eqn.invars if hasattr(v, "aval")][:1] or [None]
+    if inv is None or not hasattr(inv, "aval"):
+        return False
+    a = inv.aval
+    axes = eqn.params.get("axes", ())
+    return a.ndim >= 3 and len(axes) >= 2
+
+
+def sub_jaxprs(eqn):
+    """(jaxpr, multiplier) pairs for every sub-jaxpr this eqn runs."""
+    out = []
+    p = eqn.params
+    name = eqn.primitive.name
+    if name == "scan":
+        out.append((p["jaxpr"].jaxpr, p["length"]))
+    elif name == "while":
+        # trip count unknowable statically; the flagship step has no
+        # while loops outside the bench harness — flag loudly if seen.
+        out.append((p["body_jaxpr"].jaxpr, None))
+        out.append((p["cond_jaxpr"].jaxpr, None))
+    elif name == "cond":
+        for br in p["branches"]:
+            out.append((br.jaxpr, 1))  # upper bound: all branches counted
+    else:
+        for key in ("jaxpr", "call_jaxpr", "fun_jaxpr"):
+            if key in p:
+                j = p[key]
+                out.append((getattr(j, "jaxpr", j), 1))
+    return out
+
+
+def walk(jaxpr, mult, acc, unknown_while):
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name in BYTE_PRIMS or name in PALLAS_PRIMS:
+            b = eqn_io_bytes(eqn) * mult
+            acc["tier1"] += b
+            acc.setdefault("by_prim", {}).setdefault(name, 0)
+            acc["by_prim"][name] += b
+        elif is_norm_stat_reduce(eqn):
+            inv = [v for v in eqn.invars if hasattr(v, "aval")][0]
+            acc["norm_extra"] += aval_bytes(inv.aval) * mult
+        for sub, m in sub_jaxprs(eqn):
+            if m is None:
+                unknown_while.append(str(eqn.primitive))
+                m = 1
+            walk(sub, mult * m, acc, unknown_while)
+
+
+def main():
+    import dataclasses as _dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    jax.config.update("jax_platforms", "cpu")
+
+    from __graft_entry__ import _host_init_params
+    from rtfs_tpu.config import build_avnet, load_config
+    from rtfs_tpu.losses import pairwise_neg_snr, pit_loss
+    from rtfs_tpu.utils.precision import cast_params
+
+    conf = load_config("lrs2_RTFSNet_4_layer")
+    model = build_avnet(conf)
+    wav1 = jnp.zeros((1, 32000), jnp.float32)
+    emb1 = jnp.zeros((1, 50, 512), jnp.float32)
+    variables = _host_init_params(model, wav1, emb1)
+    model = _dc.replace(model, compute_dtype="bfloat16")
+    variables = cast_params(variables)
+
+    bs = 8
+    wav = jnp.zeros((bs, 32000), jnp.float32)
+    emb = jnp.zeros((bs, 50, 512), jnp.float32)
+    tgt = jnp.zeros((bs, 1, 32000), jnp.float32)
+    opt = optax.adamw(1e-3)
+    bstats = variables.get("batch_stats", {})
+    params = variables["params"]
+    opt_state = opt.init(params)
+
+    def loss_fn(p):
+        ests = model.apply({"params": p, "batch_stats": bstats}, wav, emb)
+        return pit_loss(pairwise_neg_snr, ests, tgt)
+
+    def one_step(p, o):
+        grads = jax.grad(loss_fn)(p)
+        updates, o = opt.update(grads, o, p)
+        return optax.apply_updates(p, updates), o
+
+    def fwd_only(p):
+        return loss_fn(p)
+
+    # Exact autodiff residual footprint: the vjp closure's array leaves ARE
+    # the tensors the backward re-reads. Run at bs=1 on CPU (cheap) and
+    # scale the batch-dependent leaves to bs=8.
+    def loss_fn_b1(p):
+        ests = model.apply(
+            {"params": p, "batch_stats": bstats}, wav[:1], emb[:1]
+        )
+        return pit_loss(pairwise_neg_snr, ests, tgt[:1])
+
+    _, f_vjp = jax.vjp(loss_fn_b1, params)
+    res_b1 = sum(
+        int(np.prod(x.shape, dtype=np.int64)) * x.dtype.itemsize
+        for x in jax.tree_util.tree_leaves(f_vjp)
+        if hasattr(x, "shape")
+    )
+    residual_gb_bs8 = res_b1 * bs / 2**30
+    print(f"residual footprint: {res_b1/2**30:.3f} GB at bs=1 -> "
+          f"{residual_gb_bs8:.2f} GB at bs={bs}", file=sys.stderr)
+
+    report = {"residual_footprint_bs8_gb": round(residual_gb_bs8, 2)}
+    for tag, fn, fargs in (
+        ("fwd", fwd_only, (params,)),
+        ("step", one_step, (params, opt_state)),
+    ):
+        closed = jax.make_jaxpr(fn)(*fargs)
+        acc = {"tier1": 0, "norm_extra": 0}
+        unknown = []
+        walk(closed.jaxpr, 1, acc, unknown)
+        # params + grads + adamw state traffic (read+write each leaf once)
+        psize = sum(
+            aval_bytes(v.aval) for v in closed.jaxpr.invars
+        )
+        report[tag] = {
+            "tier1_gb": round(acc["tier1"] / 2**30, 2),
+            "norm_extra_gb": round(acc["norm_extra"] / 2**30, 2),
+            "tier2_gb": round(
+                (acc["tier1"] + acc["norm_extra"]) / 2**30, 2
+            ),
+            "by_prim_gb": {
+                k: round(v / 2**30, 2)
+                for k, v in acc.get("by_prim", {}).items()
+            },
+            "argument_footprint_gb": round(psize / 2**30, 3),
+            "unknown_while_bodies": sorted(set(unknown)),
+        }
+        print(f"{tag}: tier1 {report[tag]['tier1_gb']} GB, "
+              f"tier2 {report[tag]['tier2_gb']} GB "
+              f"(norm-forced +{report[tag]['norm_extra_gb']} GB), "
+              f"by prim {report[tag]['by_prim_gb']}",
+              file=sys.stderr)
+        if unknown:
+            print(f"  WARNING unmultiplied while bodies: {set(unknown)}",
+                  file=sys.stderr)
+
+    # Tier 3 (reachable floor): tier2 + the exact residual-read traffic the
+    # backward performs. Overlap caveats cut both ways — some residual
+    # reads are already counted as bwd conv/dot operand reads (floor too
+    # high), while residual WRITES for non-conv-output residuals, grad-
+    # chain intermediates, and optimizer traffic are omitted (floor too
+    # low). Stated in docs/design.md §10.
+    report["step"]["tier3_gb"] = round(
+        report["step"]["tier2_gb"] + report["residual_footprint_bs8_gb"], 2
+    )
+    print(f"step tier3 (reachable floor): {report['step']['tier3_gb']} GB",
+          file=sys.stderr)
+
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()
