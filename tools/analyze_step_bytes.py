@@ -23,9 +23,11 @@ multiplying scan-body traffic by trip count). Two tiers:
     reduce equation whose reduction is a norm-stat shape (detected as
     f32 reductions over >=2 axes of a >=3D operand).
 
-Compare against the profiler-measured bytes/step (bench.py captures
-~52 GB): measured / tier2 is the honest "distance from algorithmic
-minimum" figure for docs/design.md.
+A third tier adds the EXACT autodiff residual footprint (the vjp
+closure's array leaves), giving the reachable floor. All figures are
+decimal GB (1e9 bytes) to match the profiler-measured bytes/step
+(bench.py captures ~52 GB): measured / tier3 is the honest "distance
+from algorithmic minimum" figure for docs/design.md.
 
 Usage: python tools/analyze_step_bytes.py  (runs on CPU; trace only)
 """
@@ -169,8 +171,8 @@ def main():
         for x in jax.tree_util.tree_leaves(f_vjp)
         if hasattr(x, "shape")
     )
-    residual_gb_bs8 = res_b1 * bs / 2**30
-    print(f"residual footprint: {res_b1/2**30:.3f} GB at bs=1 -> "
+    residual_gb_bs8 = res_b1 * bs / 1e9
+    print(f"residual footprint: {res_b1/1e9:.3f} GB at bs=1 -> "
           f"{residual_gb_bs8:.2f} GB at bs={bs}", file=sys.stderr)
 
     report = {"residual_footprint_bs8_gb": round(residual_gb_bs8, 2)}
@@ -187,16 +189,16 @@ def main():
             aval_bytes(v.aval) for v in closed.jaxpr.invars
         )
         report[tag] = {
-            "tier1_gb": round(acc["tier1"] / 2**30, 2),
-            "norm_extra_gb": round(acc["norm_extra"] / 2**30, 2),
+            "tier1_gb": round(acc["tier1"] / 1e9, 2),
+            "norm_extra_gb": round(acc["norm_extra"] / 1e9, 2),
             "tier2_gb": round(
-                (acc["tier1"] + acc["norm_extra"]) / 2**30, 2
+                (acc["tier1"] + acc["norm_extra"]) / 1e9, 2
             ),
             "by_prim_gb": {
-                k: round(v / 2**30, 2)
+                k: round(v / 1e9, 2)
                 for k, v in acc.get("by_prim", {}).items()
             },
-            "argument_footprint_gb": round(psize / 2**30, 3),
+            "argument_footprint_gb": round(psize / 1e9, 3),
             "unknown_while_bodies": sorted(set(unknown)),
         }
         print(f"{tag}: tier1 {report[tag]['tier1_gb']} GB, "
