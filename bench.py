@@ -392,6 +392,19 @@ def main() -> None:
                 train_stats["train_bf16_hbm_gbps_achieved"] = round(
                     achieved, 1)
                 train_stats["train_bf16_hbm_roofline_frac"] = round(frac, 3)
+                # distance from the written-down algorithmic byte floor
+                # (tools/analyze_step_bytes.py; docs/design.md section 10)
+                try:
+                    floor_path = os.path.join(
+                        os.path.dirname(os.path.abspath(__file__)),
+                        "docs", "step_bytes_r04.json")
+                    with open(floor_path) as fh:
+                        # tier3_gb is decimal GB, same convention as gb_step
+                        floor_gb = json.load(fh)["step"]["tier3_gb"]
+                    train_stats["train_bf16_bytes_vs_floor"] = round(
+                        gb_step / floor_gb, 3)
+                except Exception:
+                    pass
                 print(
                     f"# train bf16 HBM (measured): {gb_step:.1f} GB/step "
                     f"-> {achieved:.0f} GB/s = {frac*100:.0f}% of peak "
