@@ -602,7 +602,7 @@ class ConvTranspose(nn.Module):
     nd: int = 1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, time_major: bool = False):
         ks = self.kernel_size
         kernel = tuple(ks) if hasattr(ks, "__len__") else (ks,) * self.nd
         # Stored as (*spatial, Cout, Cin//groups) — see convops.conv_transpose.
@@ -633,6 +633,27 @@ class ConvTranspose(nn.Module):
                 ),
                 (self.out_chan,),
             )
+        if time_major:
+            # x is (L, Cin, B) — the SRU stack's native layout. Apply the
+            # fused ConvT+OLA Pallas kernel (ops.convt_tm) and return
+            # (L + k - 1, Cout, B); bias adds at the XLA level (fuses into
+            # the caller's transpose/residual). Geometry: stride 1, pad 0,
+            # 1D — exactly the DualPathRNN back-projection.
+            assert self.nd == 1 and self.stride == 1 and self.groups == 1
+            assert self.padding == 0 and self.output_padding == 0
+            from ..ops import sru as _sru
+            from ..ops.convt_tm import _xla_reference, convt1d_ola_tm
+
+            backend = _sru.resolve_backend()
+            if backend == "pallas":
+                out = convt1d_ola_tm(x, w.astype(x.dtype))
+            elif backend == "interpret":
+                out = convt1d_ola_tm(x, w.astype(x.dtype), True)
+            else:
+                return _xla_reference(x, w.astype(x.dtype), b)
+            if b is not None:
+                out = out + b.astype(out.dtype)[None, :, None]
+            return out
         if fold_factor() > 1 and x.shape[-1] != self.in_chan:
             raise NotImplementedError(
                 "ConvTranspose under batch_fold: unfold first (decoder and "

@@ -133,8 +133,21 @@ class DualPathRNN(nn.Module):
 
         unfolded = c * ks
         num_dir = 2 if self.bidirectional else 1
+        time_major = False
         if self.rnn_type == "SRU":
+            from ..ops.sru import uses_fused_stack
+
             rnn_out = self.hid_chan * num_dir
+            # On the fused Pallas path the whole tail stays in the stack's
+            # time-major layout: SRU emits (L, 2H, B*F), the fused
+            # ConvT+OLA kernel back-projects in place (ops.convt_tm), and
+            # ONE transpose lands directly in (B, T, F, C) — replacing the
+            # stack exit transpose + ConvT round-trip + refold transpose.
+            time_major = (
+                uses_fused_stack(unfolded, self.hid_chan, self.bidirectional)
+                and st == 1
+                and not self.apply_ffn
+            )
             # raw sequence + window: layer 0's projection runs as a conv
             # (no unfolded tensor materialized) on the Pallas backend.
             x = SRU(
@@ -143,7 +156,7 @@ class DualPathRNN(nn.Module):
                 num_layers=self.num_layers,
                 bidirectional=self.bidirectional,
                 window=(ks, st),
-            )(x)
+            )(x, time_major=time_major)
         elif self.rnn_type == "Attn":
             rnn_out = unfolded
             x = convops.unfold_1d(x, ks, st)
@@ -164,8 +177,15 @@ class DualPathRNN(nn.Module):
                 unfolded, unfolded * 2, self.kernel_size, dropout=0.1
             )(x, train)
 
-        x = L.ConvTranspose(rnn_out, c, ks, stride=st, nd=1)(x)  # (B*F, new_T, C)
-        x = x.reshape(b, new_f, new_t, c).transpose(0, 2, 1, 3)
+        if time_major:
+            # x: (L, 2H, B*F) -> kernel -> (new_T, C, B*F) -> (B, T, F, C)
+            x = L.ConvTranspose(rnn_out, c, ks, stride=st, nd=1)(
+                x, time_major=True
+            )
+            x = x.reshape(new_t, c, b, new_f).transpose(2, 0, 3, 1)
+        else:
+            x = L.ConvTranspose(rnn_out, c, ks, stride=st, nd=1)(x)  # (B*F, new_T, C)
+            x = x.reshape(b, new_f, new_t, c).transpose(0, 2, 1, 3)
         x = x + residual
         x = x[:, :old_t, :old_f]
 

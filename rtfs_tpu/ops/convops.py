@@ -21,6 +21,7 @@ reference (PyTorch) is channels-first; the semantics matched here are:
 from __future__ import annotations
 
 import functools
+import os
 from typing import Sequence
 
 import jax
@@ -107,6 +108,24 @@ def conv(
             out = out + bias
         return out
 
+    # Narrow-channel convs lower as tap-decomposed einsums: XLA's conv
+    # emitter drives the MXU with C_out (or C_in) as the minor GEMM axis,
+    # so a 256->2 decoder ConvT or 2->256 encoder conv uses 2 of 128
+    # lanes (profiled at 169 / 452 GB/s vs the ~750 GB/s big-fusion
+    # roofline on v5e). With stride 1 the same computation is one full-
+    # width GEMM plus K cheap shifted slice-adds over the narrow side.
+    if (
+        "conv" in _TAP_LOWER_SITES
+        and groups == 1
+        and all(s == 1 for s in stride)
+        and any(k > 1 for k in kernel)
+        and min(w.shape[-2], w.shape[-1]) <= _TAP_LOWER_MAX_CH
+    ):
+        out = _conv_tap_einsum(x, w, pads, tuple(dilation))
+        if bias is not None:
+            out = out + bias
+        return out
+
     spatial = "".join("DHW"[3 - nd + i] for i in range(nd))
     dn = jax.lax.conv_dimension_numbers(
         x.shape, w.shape, (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C")
@@ -123,6 +142,71 @@ def conv(
     if bias is not None:
         out = out + bias
     return out
+
+
+_TAP_LOWER_MAX_CH = 16  # tap-decompose when either channel side is <= this
+# Which call sites use the tap lowering. "convT" (the STFT decoder) is a
+# pure win; enabling "conv" (STFT encoder 2->256) perturbed XLA's fusion
+# choices inside the refinement block at bs 8 and lost more than it saved
+# (r5 profile) — override via env for experiments.
+_TAP_LOWER_SITES = tuple(
+    s for s in os.environ.get("RTFS_TAP_LOWER", "convT").split(",") if s
+)
+
+
+def _conv_tap_einsum(x, w, pads, dilation):
+    """Stride-1 dense conv as GEMM + K shifted adds, for narrow channels.
+
+    x: (B, *spatial, Cin) already cast to w.dtype; w: (*k, Cin, Cout);
+    pads: per-dim (lo, hi). Two symmetric plans, both touching the wide-
+    channel tensor exactly once:
+
+      Cout small:  z = x @ w.reshape(Cin, K*Cout)   (full-width GEMM)
+                   y[t] = sum_k z[t + off_k, k-th Cout slice]
+      Cin  small:  z[t] = concat_k x[t + off_k]     (narrow stack)
+                   y = z @ w.reshape(K*Cin, Cout)   (full-width GEMM)
+
+    The shifted reads run over the NARROW (K*Cnarrow-channel) tensor, so
+    the K-fold re-read amplification costs K*narrow bytes, not K*wide.
+    """
+    nd = x.ndim - 2
+    kernel = w.shape[:nd]
+    cin, cout = w.shape[-2], w.shape[-1]
+    taps = list(np.ndindex(*kernel))
+
+    def shifted(z, tap, out_sizes):
+        # z is padded along spatial dims; take the window starting at the
+        # dilated tap offset with the output's spatial extent.
+        starts = [d * t for d, t in zip(dilation, tap)]
+        idx = (slice(None),) + tuple(
+            slice(s, s + o) for s, o in zip(starts, out_sizes)
+        ) + (slice(None),)
+        return z[idx]
+
+    pad_cfg = [(0, 0)] + [tuple(p) for p in pads] + [(0, 0)]
+    out_sizes = [
+        x.shape[1 + a] + sum(pads[a]) - dilation[a] * (kernel[a] - 1)
+        for a in range(nd)
+    ]
+
+    if cout <= cin:
+        # GEMM first: (B, *sp, Cin) @ (Cin, K*Cout), then overlap-add.
+        z = jnp.einsum("b...i,io->b...o", x, w.reshape(-1, cin, cout)
+                       .transpose(1, 0, 2).reshape(cin, len(taps) * cout))
+        z = jnp.pad(z, pad_cfg)
+        out = None
+        for k, tap in enumerate(taps):
+            part = shifted(z, tap, out_sizes)[..., k * cout:(k + 1) * cout]
+            out = part if out is None else out + part
+        return out
+    # Stack first: (B, *sp, K*Cin) from shifted narrow reads, then GEMM.
+    xp = jnp.pad(x, pad_cfg)
+    stack = jnp.concatenate(
+        [shifted(xp, tap, out_sizes) for tap in taps], axis=-1
+    )
+    return jnp.einsum(
+        "b...i,io->b...o", stack, w.reshape(len(taps) * cin, cout)
+    )
 
 
 def conv_transpose(
@@ -177,6 +261,23 @@ def conv_transpose(
         (f"N{spatial}C", f"{spatial}IO", f"N{spatial}C"),
     )
     x = x.astype(w.dtype)  # mixed-precision: compute in the param dtype
+
+    # Stride-1 ConvTranspose == regular conv with the flipped kernel, so
+    # the narrow-channel tap lowering applies (the STFT decoder's
+    # 256 -> 2*n_src ConvT2d ran at 169 GB/s under XLA's conv emitter).
+    if (
+        "convT" in _TAP_LOWER_SITES
+        and groups == 1
+        and all(s == 1 for s in stride)
+        and any(k > 1 for k in kernel)
+        and min(w_flipped.shape[-2], w_flipped.shape[-1]) <= _TAP_LOWER_MAX_CH
+        and all(p[0] >= 0 and p[1] >= 0 for p in pads)
+    ):
+        out = _conv_tap_einsum(x, w_flipped, pads, tuple(dilation))
+        if bias is not None:
+            out = out + bias
+        return out
+
     out = jax.lax.conv_general_dilated(
         x,
         w_flipped,
@@ -208,27 +309,79 @@ def _repeat_factor(in_sz: int, out_sz: int):
     """r if the torch-nearest index map equals ``arange(out) // r`` (pure
     integer upsample-by-repeat, e.g. 126->251 or 65->129 in the RTFS
     pyramid), else None."""
+    plan = _shift_repeat_plan(in_sz, out_sz)
+    return plan[0] if plan is not None and plan[1] == 0 else None
+
+
+def _repeat_factor_plan(in_sz: int, out_sz: int):
+    """(r, 0) for pure repeats, else None (forward-lowering plan)."""
+    r = _repeat_factor(in_sz, out_sz)
+    return (r, 0) if r is not None else None
+
+
+@functools.lru_cache(maxsize=None)
+def _shift_repeat_plan(in_sz: int, out_sz: int):
+    """(r, a) if the torch-nearest index map equals
+    ``clip((arange(out) - a) // r, 0, in - 1)``, else None.
+
+    a == 0 is the pure repeat; a > 0 covers the RTFS "2n+1" upsamples
+    ((125, 64) -> (251, 129): r=2, a=1) and the CAF video resize
+    (50 -> 251: r=5, a=1), both of which are otherwise gathers — profiled
+    r5 at 2.0 ms/step of gather-driven custom fusions in the bs-8 bf16
+    forward. The shift-repeat form lowers to broadcast+reshape+slice
+    (plus a one-dup-row concat at the SMALL resolution when a > 0), all
+    of which XLA fuses into the consumer."""
     if out_sz <= in_sz:
         return None
-    r = -(-out_sz // in_sz)  # ceil
-    if np.array_equal(_nearest_axis_idx(in_sz, out_sz),
-                      np.arange(out_sz) // r):
-        return r
+    idx = _nearest_axis_idx(in_sz, out_sz)
+    i = np.arange(out_sz)
+    for r in range(2, 9):
+        if r * in_sz + r - 1 < out_sz:
+            continue
+        for a in range(0, r):
+            if out_sz > r * in_sz + a:
+                continue
+            if np.array_equal(idx, np.clip((i - a) // r, 0, in_sz - 1)):
+                return (r, a)
     return None
+
+
+def _apply_shift_repeat(x: jax.Array, axis: int, r: int, a: int,
+                        out_sz: int) -> jax.Array:
+    """Apply a (r, a) shift-repeat plan along spatial ``axis`` (absolute
+    array axis). out[i] = x[clip((i - a)//r, 0, in-1)]."""
+    if a > 0:
+        first = jax.lax.slice_in_dim(x, 0, 1, axis=axis)
+        x = jnp.concatenate([first, x], axis=axis)
+    shp = list(x.shape)
+    bshape = shp[: axis + 1] + [r] + shp[axis + 1:]
+    x = jnp.broadcast_to(jnp.expand_dims(x, axis + 1), bshape)
+    shp[axis] = shp[axis] * r
+    x = x.reshape(shp)
+    start = (r - a) % r
+    if start != 0 or shp[axis] != out_sz:
+        x = jax.lax.slice_in_dim(x, start, start + out_sz, axis=axis)
+    return x
 
 
 def _interp_nearest_fwd_impl(x: jax.Array, size) -> jax.Array:
     nd = x.ndim - 2
 
-    # Integer-repeat upsampling: broadcast+reshape+slice instead of a
+    # Shift-repeat upsampling: broadcast+reshape+slice instead of a
     # gather. XLA fuses the repeat into consumers as a cheap producer
-    # (the gather was a standalone kCustom fusion with 2x-padded temps).
+    # (the gather was a standalone kCustom fusion at ~330 GB/s).
     # Mixed plans (one gather axis + one repeat axis, e.g. the CAF's
     # video (T_v, 1) -> (T, F)) run the gather FIRST on the small tensor,
     # then the free repeats.
+    # Only a == 0 (pure repeat) plans run in the forward: the a > 0
+    # shift-repeat lowering was MEASURED SLOWER than the fused gather
+    # (r5: XLA materializes the broadcast instead of fusing through the
+    # dup-row concat + offset slice — 2.3 ms of standalone broadcasts vs
+    # the 2.0 ms of gather fusions it replaced). The backward still uses
+    # the (r, a) plan for its scatter-free fold-sum adjoint.
     reps = [
         None if x.shape[1 + a] == int(size[a])
-        else _repeat_factor(x.shape[1 + a], int(size[a]))
+        else _repeat_factor_plan(x.shape[1 + a], int(size[a]))
         for a in range(nd)
     ]
     gather_axes = [a for a in range(nd)
@@ -243,14 +396,8 @@ def _interp_nearest_fwd_impl(x: jax.Array, size) -> jax.Array:
         for a in range(nd):
             if reps[a] is None:
                 continue
-            r, out_sz = reps[a], int(size[a])
-            shp = list(x.shape)
-            bshape = shp[:2 + a] + [r] + shp[2 + a:]
-            x = jnp.broadcast_to(jnp.expand_dims(x, 2 + a), bshape)
-            shp[1 + a] = shp[1 + a] * r
-            x = x.reshape(shp)
-            if shp[1 + a] != out_sz:
-                x = jax.lax.slice_in_dim(x, 0, out_sz, axis=1 + a)
+            r, sh = reps[a]
+            x = _apply_shift_repeat(x, 1 + a, r, sh, int(size[a]))
         return x
 
     if nd == 2 and x.shape[1] != size[0] and x.shape[2] != size[1]:
@@ -297,16 +444,27 @@ def _interp_nearest_cv_bwd(size, in_shape, g):
         out_sz = g.shape[1 + axis]
         if in_sz == out_sz:
             continue
-        r = _repeat_factor(in_sz, out_sz)
-        if r is not None:
-            # adjoint of repeat-by-r (+trailing trim): pad back to in*r,
-            # fold (in, r), sum the r copies — no gather matrix needed
+        plan = _shift_repeat_plan(in_sz, out_sz)
+        if plan is not None:
+            # adjoint of [prepend-dup -> repeat-r -> slice(start, out)]:
+            # pad the cotangent back to the repeated extent, fold
+            # (rows, r), sum the r copies, then fold the duplicated
+            # leading row's gradient into row 0 — no gather matrix.
+            r, a = plan
+            rows = in_sz + (1 if a > 0 else 0)
+            start = (r - a) % r
             pad = [(0, 0)] * g.ndim
-            pad[1 + axis] = (0, in_sz * r - out_sz)
+            pad[1 + axis] = (start, rows * r - start - out_sz)
             gp = jnp.pad(g, pad)
             shp = list(gp.shape)
-            shp[1 + axis:2 + axis] = [in_sz, r]
+            shp[1 + axis:2 + axis] = [rows, r]
             g = gp.reshape(shp).sum(axis=2 + axis)
+            if a > 0:
+                head = jax.lax.slice_in_dim(g, 0, 2, axis=1 + axis).sum(
+                    axis=1 + axis, keepdims=True
+                )
+                tail = jax.lax.slice_in_dim(g, 2, rows, axis=1 + axis)
+                g = jnp.concatenate([head, tail], axis=1 + axis)
             continue
         idx = _nearest_axis_idx(in_sz, out_sz)
         m = np.zeros((out_sz, in_sz), dtype=np.float32)

@@ -130,6 +130,37 @@ def sru_layer(
     return jnp.concatenate(outs, axis=-1) if dirs > 1 else outs[0]
 
 
+def resolve_backend(backend: str = "auto") -> str:
+    """The SRU backend actually used: "pallas" | "scan" | "interpret".
+
+    RTFS_SRU_BACKEND overrides the default choice — used by perf A/B runs
+    (Pallas custom-call vs pure-XLA scan) and as an escape hatch on
+    backends where Mosaic misbehaves.
+    """
+    if backend != "auto":
+        return backend
+    import os
+
+    return os.environ.get(
+        "RTFS_SRU_BACKEND",
+        "pallas" if jax.default_backend() == "tpu" else "scan",
+    )
+
+
+def uses_fused_stack(input_size: int, hidden_size: int,
+                     bidirectional: bool, backend: str = "auto") -> bool:
+    """True when SRU.__call__ will take the fused dual-direction Pallas
+    stack (and therefore supports ``time_major`` output). Mirrors the
+    dispatch condition in ``SRU.__call__``."""
+    b = resolve_backend(backend)
+    dirs = 2 if bidirectional else 1
+    return (
+        b in ("pallas", "interpret")
+        and bidirectional
+        and input_size != dirs * hidden_size
+    )
+
+
 class SRU(nn.Module):
     """Multi-layer (bi)directional SRU, batch-major (B, L, D).
 
@@ -188,18 +219,8 @@ class SRU(nn.Module):
         return weights, weight_cs, biases
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        backend = self.backend
-        if backend == "auto":
-            # RTFS_SRU_BACKEND overrides the default choice — used by perf
-            # A/B runs (Pallas custom-call vs pure-XLA scan) and as an
-            # escape hatch on backends where Mosaic misbehaves.
-            import os
-
-            backend = os.environ.get(
-                "RTFS_SRU_BACKEND",
-                "pallas" if jax.default_backend() == "tpu" else "scan",
-            )
+    def __call__(self, x: jax.Array, time_major: bool = False) -> jax.Array:
+        backend = resolve_backend(self.backend)
         fuse_window = self.window is not None and backend in (
             "pallas", "interpret"
         )
@@ -222,8 +243,14 @@ class SRU(nn.Module):
                 x, weights, weight_cs, biases, self.hidden_size,
                 window=self.window if fuse_window else None,
                 interpret=(backend == "interpret"),
+                time_major=time_major,
             )
 
+        if time_major:
+            raise ValueError(
+                "time_major output requires the fused Pallas stack "
+                "(gate with uses_fused_stack())"
+            )
         if self.window is not None and not fuse_window:
             from .convops import unfold_1d
 

@@ -736,7 +736,7 @@ sru_hidden_layer.defvjp(_hid_vjp_fwd, _hid_vjp_bwd)
 
 
 def sru_stack_tpu(x, weights, weight_cs, biases, hidden, window=None,
-                  interpret=False):
+                  interpret=False, time_major=False):
     """Full multi-layer bidirectional SRU on the fused dual-direction path.
 
     Args:
@@ -793,6 +793,11 @@ def sru_stack_tpu(x, weights, weight_cs, biases, hidden, window=None,
         )
         h_f, h_r = sru_hidden_layer(h_f, h_r, wt, vb, interpret)
 
-    # (L, H, B) pair -> (B, L, 2H): the single exit transpose.
+    # (L, H, B) pair -> (B, L, 2H): the single exit transpose. With
+    # ``time_major`` the caller consumes the native (L, 2H, B) layout
+    # directly (the fused ConvT+OLA back-projection, ops.convt_tm) and no
+    # exit transpose happens here at all.
     h = jnp.concatenate([h_f, h_r], axis=1)
+    if time_major:
+        return h
     return h.transpose(2, 0, 1)

@@ -58,7 +58,13 @@ def test_conv1d_parity(cin, cout, k, stride, groups, dilation, padding):
 
 @pytest.mark.parametrize(
     "cin,cout,k,stride,padding",
-    [(8, 12, 3, 1, "same"), (8, 8, 4, 2, 1), (4, 6, 3, 1, 1)],
+    [
+        (8, 12, 3, 1, "same"),
+        (8, 8, 4, 2, 1),
+        (4, 6, 3, 1, 1),
+        (2, 32, 3, 1, 1),     # STFT-encoder geometry: narrow Cin tap plan
+        (32, 2, 3, 1, "same"),  # narrow Cout tap plan (GEMM-first)
+    ],
 )
 def test_conv2d_parity(cin, cout, k, stride, padding):
     torch.manual_seed(1)
@@ -121,6 +127,50 @@ def test_conv_transpose2d_parity():
     np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
 
 
+def test_tap_lowering_grad_parity():
+    """The narrow-channel tap lowering must agree with the general conv
+    path on outputs AND input/weight gradients (it replaces the lowering
+    for the STFT encoder's 2->256 conv and the decoder's 256->2 ConvT,
+    both of which train)."""
+    rng = np.random.default_rng(7)
+
+    def general_conv(x, w, pads, dilation):
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NHWC", "HWIO", "NHWC")
+        )
+        return jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=pads,
+            rhs_dilation=dilation, dimension_numbers=dn,
+        )
+
+    for cin, cout, k, dilation in [(2, 24, 3, (1, 1)), (24, 2, 3, (1, 2))]:
+        x = jnp.asarray(rng.standard_normal((2, 19, 17, cin)).astype(np.float32))
+        w = jnp.asarray(
+            rng.standard_normal((k, k, cin, cout)).astype(np.float32)
+        )
+        pads = ((1, 1), (dilation[1], dilation[1]))
+
+        def loss_tap(x, w):
+            return jnp.sum(
+                jnp.sin(convops._conv_tap_einsum(x, w, pads, dilation))
+            )
+
+        def loss_gen(x, w):
+            return jnp.sum(jnp.sin(general_conv(x, w, pads, dilation)))
+
+        y_tap = convops._conv_tap_einsum(x, w, pads, dilation)
+        y_gen = general_conv(x, w, pads, dilation)
+        np.testing.assert_allclose(
+            np.asarray(y_tap), np.asarray(y_gen), atol=1e-5, rtol=1e-5
+        )
+        g_tap = jax.grad(loss_tap, argnums=(0, 1))(x, w)
+        g_gen = jax.grad(loss_gen, argnums=(0, 1))(x, w)
+        for a, b in zip(g_tap, g_gen):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-4
+            )
+
+
 @pytest.mark.parametrize("in_sz,out_sz", [(50, 251), (251, 50), (10, 33), (64, 129)])
 def test_interp_nearest_1d(in_sz, out_sz):
     x = torch.randn(2, 7, in_sz)
@@ -180,7 +230,11 @@ def test_interp_nearest_scatter_free_vjp():
     rng = np.random.default_rng(7)
     cases = [((2, 13, 4), (29,)), ((2, 29, 4), (13,)),
              ((2, 13, 7, 4), (29, 17)), ((2, 29, 17, 4), (13, 7)),
-             ((2, 13, 7, 4), (13, 17)), ((2, 13, 7, 4), (29, 7))]
+             ((2, 13, 7, 4), (13, 17)), ((2, 13, 7, 4), (29, 7)),
+             # shift-repeat plans (r, a>0): the RTFS "2n+1" TF upsample
+             # and the CAF 50->251 video resize
+             ((2, 125, 64, 4), (251, 129)), ((2, 50, 4), (251,)),
+             ((1, 7, 3), (50,))]
     for shape, size in cases:
         x = jnp.asarray(rng.standard_normal(shape).astype(np.float32))
         y1, vjp1 = jax.vjp(lambda x_: convops.interp_nearest(x_, size), x)

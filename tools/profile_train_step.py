@@ -1,15 +1,16 @@
-"""Per-op TPU profile of the flagship bf16 train step.
+"""Per-op TPU profile of the flagship bf16 train step (or forward only).
 
 Captures a jax.profiler trace of N chained train steps (one fori_loop, data-
 dependent — same discipline as bench.py), parses the .xplane.pb on the host,
 and prints rollups by XLA hlo_category, by model module (the ``tf_op`` path
 XLA records per HLO), and by source file:line, plus the top ops by self
-time. Leaf-only attribution: control-flow umbrella events (the fori_loop's
-``while`` spans everything inside it) are excluded via an interval-
-containment sweep, and the overlapped async-DMA line is reported separately
-— never added to the TensorCore total.
+time with per-op achieved HBM bandwidth. Leaf-only attribution: control-flow
+umbrella events (the fori_loop's ``while`` spans everything inside it) are
+excluded via an interval-containment sweep, and the overlapped async-DMA
+line is reported separately — never added to the TensorCore total.
 
 Usage:  python tools/profile_train_step.py [--steps 10] [--top 30]
+            [--mode train|fwd] [--bs 8] [--packed]
 Output: human-readable tables on stderr + one JSON line on stdout
         (committed as docs/profile_rXX.json for the perf narrative).
 
@@ -81,6 +82,42 @@ def build_train_loop():
     bstats = variables.get("batch_stats", {})
     opt_state = opt.init(variables["params"])
     return train_loop, (variables["params"], bstats, opt_state)
+
+
+def build_fwd_loop(bs: int = 8, packed: bool = False):
+    """Chained bf16 forward loop at the given batch size (bench.py shape)."""
+    import dataclasses as _dc
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from __graft_entry__ import _host_init_params
+    from rtfs_tpu.config import build_avnet, load_config
+    from rtfs_tpu.utils.precision import cast_params
+
+    conf = load_config("lrs2_RTFSNet_4_layer")
+    model = build_avnet(conf)
+    wav1 = jnp.zeros((1, 32000), jnp.float32)
+    emb1 = jnp.zeros((1, 50, 512), jnp.float32)
+    variables = jax.device_put(_host_init_params(model, wav1, emb1))
+    model = _dc.replace(model, compute_dtype="bfloat16", packed_tf=packed)
+    variables = cast_params(variables)
+
+    rng = np.random.default_rng(0)
+    wav = jnp.asarray(rng.standard_normal((bs, 32000)).astype(np.float32))
+    emb = jnp.asarray(rng.standard_normal((bs, 50, 512)).astype(np.float32))
+
+    @partial(jax.jit, static_argnames="n_iter")
+    def fwd_loop(v, n_iter):
+        def body(_, carry):
+            out = model.apply(v, wav + 1e-12 * carry, emb)
+            return jnp.sum(out)
+
+        return jax.lax.fori_loop(0, n_iter, body, jnp.zeros((), jnp.float32))
+
+    return fwd_loop, (variables,)
 
 
 class OpRecord(
@@ -199,11 +236,17 @@ def main():
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--logdir", default=None)
+    ap.add_argument("--mode", choices=("train", "fwd"), default="train")
+    ap.add_argument("--bs", type=int, default=8)
+    ap.add_argument("--packed", action="store_true")
     args = ap.parse_args()
 
     import jax
 
-    train_loop, state = build_train_loop()
+    if args.mode == "fwd":
+        train_loop, state = build_fwd_loop(bs=args.bs, packed=args.packed)
+    else:
+        train_loop, state = build_train_loop()
     float(train_loop(*state, args.steps))  # compile outside the trace
 
     logdir = args.logdir or tempfile.mkdtemp(prefix="rtfs_prof_")
@@ -253,8 +296,11 @@ def main():
     top = sorted(records.items(), key=lambda kv: -kv[1].dur_ps)[:args.top]
     for name, r in top:
         ms = r.dur_ps / 1e9 / args.steps
-        print(f"# {ms:8.4f} ms/step  {r.category:22s} {name:24s} "
-              f"{module_of(r.tf_op)[:60]}", file=sys.stderr)
+        mb = r.bytes_total / 1e6 / args.steps
+        gbps = r.bytes_total / 1e9 / (r.dur_ps / 1e12) if r.dur_ps else 0.0
+        print(f"# {ms:8.4f} ms/step {mb:9.1f} MB {gbps:6.0f} GB/s  "
+              f"{r.category:18s} {name:22s} "
+              f"{module_of(r.tf_op)[:52]}", file=sys.stderr)
 
     print(json.dumps({
         "per_step_device_ms": round(per_step_ms, 3),
