@@ -294,8 +294,12 @@ def main() -> None:
         tgt = wav[:, None] * 0.7
 
         def loss_fn(params, bstats):
-            ests = mdl.apply(
-                {"params": params, "batch_stats": bstats}, wav, emb
+            # train=True matches the production step (train/system.py:204)
+            # and selects the training lowering of the DualPathRNN tail.
+            ests, _ = mdl.apply(
+                {"params": params, "batch_stats": bstats}, wav, emb,
+                train=True, rngs={"dropout": jax.random.PRNGKey(0)},
+                mutable=["batch_stats"],
             )
             return pit_loss(pairwise_neg_snr, ests, tgt)
 

@@ -143,10 +143,20 @@ class DualPathRNN(nn.Module):
             # ConvT+OLA kernel back-projects in place (ops.convt_tm), and
             # ONE transpose lands directly in (B, T, F, C) — replacing the
             # stack exit transpose + ConvT round-trip + refold transpose.
+            import os
+
+            # Inference-only: in the train step the pallas boundary +
+            # extra layout adjoints around the fused tail cost MORE than
+            # the ConvT fusions they replace (+5 ms/step, r5 A/B:
+            # 80.2 vs 75.2 ms with identical fwd win), so training keeps
+            # the XLA ConvT path. RTFS_CONVT_TM=0 disables it everywhere
+            # (A/B escape hatch).
             time_major = (
                 uses_fused_stack(unfolded, self.hid_chan, self.bidirectional)
                 and st == 1
                 and not self.apply_ffn
+                and not train
+                and os.environ.get("RTFS_CONVT_TM", "1") != "0"
             )
             # raw sequence + window: layer 0's projection runs as a conv
             # (no unfolded tensor materialized) on the Pallas backend.

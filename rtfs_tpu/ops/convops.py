@@ -444,12 +444,15 @@ def _interp_nearest_cv_bwd(size, in_shape, g):
         out_sz = g.shape[1 + axis]
         if in_sz == out_sz:
             continue
-        plan = _shift_repeat_plan(in_sz, out_sz)
+        # a == 0 plans only: the a > 0 fold-sum adjoint was A/B-profiled
+        # at +2.9 GB/step in the bf16 train step (the pad/fold chain on
+        # the full-res cotangent materializes; the one-hot matmul form
+        # stays inside the big backward fusions).
+        plan = _repeat_factor_plan(in_sz, out_sz)
         if plan is not None:
-            # adjoint of [prepend-dup -> repeat-r -> slice(start, out)]:
-            # pad the cotangent back to the repeated extent, fold
-            # (rows, r), sum the r copies, then fold the duplicated
-            # leading row's gradient into row 0 — no gather matrix.
+            # adjoint of [repeat-r -> slice(0, out)]: pad the cotangent
+            # back to the repeated extent, fold (rows, r), sum the r
+            # copies — no gather matrix.
             r, a = plan
             rows = in_sz + (1 if a > 0 else 0)
             start = (r - a) % r

@@ -63,7 +63,14 @@ def build_train_loop():
     opt = optax.adamw(1e-3)
 
     def loss_fn(params, bstats):
-        ests = model.apply({"params": params, "batch_stats": bstats}, wav, emb)
+        # train=True matches the production step (train/system.py:204) —
+        # it also selects the training lowering of the DualPathRNN tail
+        # (the fused inference-only ConvT kernel is gated on `not train`).
+        ests, _ = model.apply(
+            {"params": params, "batch_stats": bstats}, wav, emb,
+            train=True, rngs={"dropout": jax.random.PRNGKey(0)},
+            mutable=["batch_stats"],
+        )
         return pit_loss(pairwise_neg_snr, ests, tgt)
 
     @partial(jax.jit, static_argnames="n_iter")
