@@ -115,11 +115,20 @@ def conv(
     # roofline on v5e). With stride 1 the same computation is one full-
     # width GEMM plus K cheap shifted slice-adds over the narrow side.
     if (
-        "conv" in _TAP_LOWER_SITES
-        and groups == 1
+        groups == 1
         and all(s == 1 for s in stride)
         and any(k > 1 for k in kernel)
         and min(w.shape[-2], w.shape[-1]) <= _TAP_LOWER_MAX_CH
+        and (
+            "conv" in _TAP_LOWER_SITES
+            # Small problems (bs=1 serving) always take the tap plan:
+            # XLA's narrow-channel conv is iteration-bound there (the
+            # 2->256 encoder conv profiled at 67 GB/s, 0.25 ms of a
+            # 4.5 ms latency). At batch>=8 the plan is off by default —
+            # it perturbed fusion choices net-negative (see
+            # _TAP_LOWER_SITES above).
+            or int(np.prod(x.shape[:-1])) <= _TAP_LOWER_SMALL_M
+        )
     ):
         out = _conv_tap_einsum(x, w, pads, tuple(dilation))
         if bias is not None:
@@ -152,6 +161,7 @@ _TAP_LOWER_MAX_CH = 16  # tap-decompose when either channel side is <= this
 _TAP_LOWER_SITES = tuple(
     s for s in os.environ.get("RTFS_TAP_LOWER", "convT").split(",") if s
 )
+_TAP_LOWER_SMALL_M = 65536  # batch*spatial below which "conv" always taps
 
 
 def _conv_tap_einsum(x, w, pads, dilation):
