@@ -208,6 +208,27 @@ def main() -> None:
             )
             floop = _make_fwd_loop(fmodel, jax, jnp)
             entry = {}
+            if key == "rtfsnet12":
+                # the accuracy flagship also gets the packed serving
+                # configuration (packed-TF + fused ConvT tail), its best
+                # single-utterance latency path (r4: -25% vs standard)
+                try:
+                    ploop = _make_fwd_loop(
+                        _dc.replace(fmodel, packed_tf=True), jax, jnp
+                    )
+                    wavp = jnp.asarray(
+                        rng.standard_normal((1, 32000)).astype(np.float32))
+                    embp = jnp.asarray(
+                        rng.standard_normal((1, 50, 512)).astype(np.float32))
+                    dt, spread, estimator = _timed(
+                        ploop, fvars, wavp, embp, n_iter=20)
+                    entry["latency_bs1_bf16_packed_ms"] = round(dt * 1e3, 2)
+                    print(f"# {key} bs=1 bf16 packed: {dt*1e3:.2f} ms/step "
+                          f"(spread {spread:.1f}%, {estimator})",
+                          file=sys.stderr)
+                except Exception as e:
+                    print(f"# {key} packed FAILED: {type(e).__name__}",
+                          file=sys.stderr)
             for bs in (1, 8):
                 wav = jnp.asarray(
                     rng.standard_normal((bs, 32000)).astype(np.float32))
@@ -254,6 +275,21 @@ def main() -> None:
                 )
 
             return e2e_loop
+
+        # full-pipeline serving latency config: packed-TF AVNet at bs=1
+        try:
+            e2e_packed = make_e2e_loop(model_packed)
+            wavp = jnp.asarray(
+                rng.standard_normal((1, 32000)).astype(np.float32))
+            framesp = jnp.asarray(
+                rng.standard_normal((1, 50, 88, 88)).astype(np.float32))
+            dt, spread, estimator = _timed(
+                e2e_packed, variables_bf16, vvars, wavp, framesp, n_iter=20)
+            e2e_stats["e2e_latency_bs1_bf16_packed_ms"] = round(dt * 1e3, 2)
+            print(f"# e2e packed bs=1 bf16: {dt*1e3:.2f} ms/step "
+                  f"(spread {spread:.1f}%, {estimator})", file=sys.stderr)
+        except Exception as e:
+            print(f"# e2e packed FAILED: {type(e).__name__}", file=sys.stderr)
 
         e2e_loop = make_e2e_loop(model_bf16)
         for bs in (1, 8):
