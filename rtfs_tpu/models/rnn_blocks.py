@@ -156,6 +156,10 @@ class DualPathRNN(nn.Module):
                 and st == 1
                 and not self.apply_ffn
                 and not train
+                # f32 at large folded batch keeps XLA's ConvT: the kernel
+                # halves its lane width in f32 (256) and measured +1.1 ms
+                # on the bs-8 f32 forward (r5 A/B); bf16 and bs-1 win.
+                and (x.dtype == jnp.bfloat16 or b * new_f <= 256)
                 and os.environ.get("RTFS_CONVT_TM", "1") != "0"
             )
             # raw sequence + window: layer 0's projection runs as a conv

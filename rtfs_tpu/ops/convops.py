@@ -282,6 +282,11 @@ def conv_transpose(
         and any(k > 1 for k in kernel)
         and min(w_flipped.shape[-2], w_flipped.shape[-1]) <= _TAP_LOWER_MAX_CH
         and all(p[0] >= 0 and p[1] >= 0 for p in pads)
+        # f32 at large batch keeps XLA's lowering: the k*C_out f32
+        # intermediate doubles and the plan measured +2.6 ms on the bs-8
+        # f32 forward (r5 A/B), while bf16 and small problems win.
+        and (x.dtype.itemsize <= 2
+             or int(np.prod(x.shape[:-1])) <= _TAP_LOWER_SMALL_M)
     ):
         out = _conv_tap_einsum(x, w_flipped, pads, tuple(dilation))
         if bias is not None:
